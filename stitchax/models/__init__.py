@@ -1,0 +1,20 @@
+"""stitchax.models — the model zoo (L1).
+
+TPU-native Flax reimplementations of the reference's backbones:
+  * TwinsSVT               (reference: core/FlowFormer/encoders.py + twins.py)
+  * FlowFormer (PerCost3)  (reference: core/FlowFormer/PerCostFormer3/)
+  * UDIS2HomographyNet     (reference: core/UDIS2/Homography/network.py)
+  * CompositionNet         (reference: core/UDIS2/Composition/network.py)
+  * TransRef inpainter     (reference: .../TransRef/models/TransRef.py)
+  * Diffusion inpainter    (reference: .../utils/inpainter.py)
+"""
+
+from .twins import TwinsSVT
+from .flowformer import FlowFormer, FlowFormerConfig
+from .udis2 import (UDIS2HomographyNet, CompositionNet, compose_seam,
+                    ccl_correlation_flow)
+from .resnet import ResNet50Stages
+
+__all__ = ["TwinsSVT", "FlowFormer", "FlowFormerConfig", "UDIS2HomographyNet",
+           "CompositionNet", "compose_seam", "ccl_correlation_flow",
+           "ResNet50Stages"]

@@ -1,0 +1,432 @@
+"""FlowFormer++ (PerCostFormer3) optical-flow estimator in Flax.
+
+TPU-native rebuild of the reference architecture
+(reference: core/FlowFormer/PerCostFormer3/{transformer,encoder,decoder,
+gru,gma,attention,crossattentionlayer}.py) with the shipped config
+(configs/last_config.py `percostformer3`): twins cnet/fnet, cost_heads 1,
+latent 8x128 tokens, encoder_depth 3 with twins vertical attention
+(vert_c_dim 64), decoder_depth 12 with GMA, linear sine position encoding,
+cross_attn='all', flow_or_pe='and'.
+
+Pipeline: context encoder on img1 -> all-pairs cost volume from twins
+features -> CostPerceiverEncoder compresses each source pixel's cost map to
+K latent tokens -> MemoryDecoder runs RAFT-style recurrent refinement with
+9x9 local cost lookups + cross-attention into the latent memory.
+
+The decoder loop is a lax.scan over iterations (static depth) so the whole
+model traces once; inputs are NHWC in [0, 255].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.flow import convex_upsample_flow_b
+from ..ops.grid import coords_grid
+from ..ops.sampling import bilinear_sampler
+from .layers import (Mlp, TokenFfn, linear_position_embedding_sine,
+                     multi_head_attention)
+from .twins import TwinsBlockRPEContext, TwinsSVT
+
+
+@dataclass(frozen=True)
+class FlowFormerConfig:
+    """Shipped percostformer3 hyperparameters (configs/last_config.py)."""
+    cost_heads_num: int = 1
+    cost_latent_input_dim: int = 64
+    cost_latent_token_num: int = 8
+    cost_latent_dim: int = 128
+    encoder_latent_dim: int = 256   # twins stage-2 channels
+    query_latent_dim: int = 64
+    encoder_depth: int = 3
+    decoder_depth: int = 12
+    patch_size: int = 8
+    vert_c_dim: int = 64
+    gma: str = "GMA"
+    cost_encoder_res: bool = True
+    flow_or_pe: str = "and"
+    use_rpe: bool = False
+    lookup_radius: int = 4
+
+
+class CostMapPatchEmbed(nn.Module):
+    """Patch-embed each source pixel's (H2, W2) cost map with a 3-conv stride-8
+    stack, then append a linear sine embedding of patch-center coordinates and
+    mix with a 1x1 ffn (reference: encoder.py:20-95, patch_embed='single')."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, cost_maps):  # (B*, H2, W2, heads)
+        dim = self.cfg.cost_latent_input_dim
+        x = cost_maps
+        # kernel 6 stride 2 pad 2 three times (patch_size 8)
+        for i, d in enumerate([dim // 4, dim // 2, dim]):
+            x = nn.Conv(d, (6, 6), strides=(2, 2), padding=((2, 2), (2, 2)),
+                        name=f"proj{i}")(x)
+            if i < 2:
+                x = nn.relu(x)
+        Bs, H3, W3, _ = x.shape
+        # patch-center coordinates in input space
+        grid = coords_grid(H3, W3, dtype=x.dtype) * self.cfg.patch_size + self.cfg.patch_size / 2
+        enc = linear_position_embedding_sine(grid, dim=64)
+        x = jnp.concatenate([x, jnp.broadcast_to(enc[None], (Bs, H3, W3, 64))], -1)
+        x = nn.Conv(dim + 64, (1, 1), name="ffn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(dim + 64, (1, 1), name="ffn2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x.reshape(Bs, H3 * W3, dim + 64))
+        return x, (H3, W3)
+
+
+class LatentCrossAttention(nn.Module):
+    """Latent tokens cross-attend to cost patches (cross_attn='all';
+    reference: crossattentionlayer.py:7-56)."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, latent, tgt):  # latent (1, K, D) or (B, K, D); tgt (B, N, Dt)
+        D = self.cfg.cost_latent_dim
+        short_cut = latent
+        q_in = nn.LayerNorm(epsilon=1e-5, name="norm1")(latent)
+        q = nn.Dense(D, name="q")(q_in)
+        k = nn.Dense(D, name="k")(tgt)
+        v = nn.Dense(D, name="v")(tgt)
+        if q.shape[0] == 1 and tgt.shape[0] != 1:
+            q = jnp.broadcast_to(q, (tgt.shape[0],) + q.shape[1:])
+        x = multi_head_attention(q, k, v, heads=8)
+        x = nn.Dense(D, name="proj")(x)
+        x = short_cut + x
+        x = x + TokenFfn(D, name="ffn")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
+        return x
+
+
+class LatentSelfAttention(nn.Module):
+    """Per-source-pixel self-attention over the K latent tokens
+    (reference: encoder.py:127-172)."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, x):  # (B*, K, D)
+        D = self.cfg.cost_latent_dim
+        short_cut = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        q = nn.Dense(D, name="q")(y)
+        k = nn.Dense(D, name="k")(y)
+        v = nn.Dense(D, name="v")(y)
+        y = multi_head_attention(q, k, v, heads=8)
+        y = nn.Dense(D, name="proj")(y)
+        x = short_cut + y
+        x = x + TokenFfn(D, name="ffn")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
+        return x
+
+
+class VerticalSelfAttention(nn.Module):
+    """Attention across the H1 x W1 source-pixel grid per latent slot:
+    twins local (ws=7) + global (sr=4) RPE-context blocks
+    (reference: encoder.py:99-125)."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, x, context):  # x (B*K, H1, W1, D); context (B, H1, W1, 256)
+        c = self.cfg
+        K = c.cost_latent_token_num
+        ctx = jnp.repeat(context, x.shape[0] // context.shape[0], axis=0)
+        x = TwinsBlockRPEContext(c.cost_latent_dim, 8, ws=7, sr_ratio=4,
+                                 vert_c_dim=c.vert_c_dim,
+                                 name="local_block")(x, ctx)
+        x = TwinsBlockRPEContext(c.cost_latent_dim, 8, ws=1, sr_ratio=4,
+                                 vert_c_dim=c.vert_c_dim,
+                                 name="global_block")(x, ctx)
+        return x
+
+
+class CostPerceiverEncoder(nn.Module):
+    """Compress each source pixel's cost map into K latent tokens, then
+    alternate latent self-attention with vertical (spatial) attention
+    (reference: encoder.py:174-287)."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, cost_maps, context):
+        # cost_maps: (B, H1, W1, H2, W2, heads); context: (B, H1, W1, 256)
+        c = self.cfg
+        B, H1, W1, H2, W2, heads = cost_maps.shape
+        K, D = c.cost_latent_token_num, c.cost_latent_dim
+        cm = cost_maps.reshape(B * H1 * W1, H2, W2, heads)
+
+        x, (H3, W3) = CostMapPatchEmbed(c, name="patch_embed")(cm)
+        cost_patches = x  # (B*H1*W1, H3*W3, input_dim+64)
+
+        latent = self.param("latent_tokens", nn.initializers.normal(1.0), (1, K, D))
+        x = LatentCrossAttention(c, name="input_layer")(latent, cost_patches)
+
+        short_cut = x
+        for idx in range(c.encoder_depth):
+            x = LatentSelfAttention(c, name=f"encoder_layer{idx}")(x)
+            # (B*H1W1, K, D) -> (B*K, H1, W1, D)
+            x = x.reshape(B, H1 * W1, K, D).transpose(0, 2, 1, 3)
+            x = x.reshape(B * K, H1, W1, D)
+            x = VerticalSelfAttention(c, name=f"vertical_layer{idx}")(x, context)
+            x = x.reshape(B, K, H1 * W1, D).transpose(0, 2, 1, 3)
+            x = x.reshape(B * H1 * W1, K, D)
+        if c.cost_encoder_res:
+            x = x + short_cut
+
+        cost_patches = cost_patches.reshape(B * H1 * W1, H3, W3, -1)
+        return x, cost_patches, (H3, W3)
+
+
+class MemoryEncoder(nn.Module):
+    """Twins features on both images -> all-pairs cost volume -> perceiver
+    (reference: encoder.py:328-410). The correlation einsum is the MXU hot
+    spot; computed in the param dtype with fp32 accumulation."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, img1, img2, context):
+        c = self.cfg
+        feat_encoder = TwinsSVT(name="feat_encoder")
+        feat_s, _ = feat_encoder(img1)  # (B, H1, W1, 256)
+        feat_t, _ = feat_encoder(img2)
+        B, H1, W1, Cdim = feat_s.shape
+        heads = c.cost_heads_num
+        d = Cdim // heads
+        fs = feat_s.reshape(B, H1 * W1, heads, d).transpose(0, 2, 1, 3)
+        ft = feat_t.reshape(B, H1 * W1, heads, d).transpose(0, 2, 1, 3)
+        corr = jnp.einsum("bhid,bhjd->bhij", fs, ft,
+                          preferred_element_type=jnp.float32)
+        cost_volume = corr.reshape(B, heads, H1, W1, H1, W1)
+        cost_volume = cost_volume.transpose(0, 2, 3, 4, 5, 1)  # (B,H1,W1,H2,W2,heads)
+        cost_volume = cost_volume.astype(img1.dtype)
+
+        x, cost_patches, h3w3 = CostPerceiverEncoder(c, name="cost_perceiver")(
+            cost_volume, context)
+        cost_maps = cost_volume  # keep for decoder local lookups
+        return x, cost_patches, cost_maps, h3w3
+
+
+# --------------------------- decoder ---------------------------------------
+
+
+class GmaAttention(nn.Module):
+    """Self-similarity attention over context features, 1 head
+    (reference: gma.py:34-76)."""
+    dim: int = 128
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, fmap):  # (B, H, W, C)
+        B, H, W, C = fmap.shape
+        qk = nn.Conv(self.dim_head * 2, (1, 1), use_bias=False, name="to_qk")(fmap)
+        q, k = jnp.split(qk, 2, axis=-1)
+        q = q * (self.dim_head ** -0.5)
+        sim = jnp.einsum("bxyd,buvd->bxyuv", q, k)
+        sim = sim.reshape(B, H * W, H * W)
+        return jax.nn.softmax(sim, axis=-1)
+
+
+class GmaAggregate(nn.Module):
+    """Attention-weighted aggregation with learned gamma gate
+    (reference: gma.py:79-115)."""
+    dim: int = 128
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, attn, fmap):  # attn (B, N, N); fmap (B, H, W, C)
+        B, H, W, C = fmap.shape
+        v = nn.Conv(self.dim_head, (1, 1), use_bias=False, name="to_v")(fmap)
+        v = v.reshape(B, H * W, self.dim_head)
+        out = jnp.einsum("bij,bjd->bid", attn, v).reshape(B, H, W, self.dim_head)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return fmap + gamma * out
+
+
+class BasicMotionEncoder(nn.Module):
+    """Correlation + flow -> 128-d motion features (reference: gru.py:231-254)."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, flow, corr):  # NHWC
+        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding="SAME", name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), padding="SAME", name="convf1")(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="convf2")(flo))
+        out = nn.relu(nn.Conv(126, (3, 3), padding="SAME", name="conv")(
+            jnp.concatenate([cor, flo], -1)))
+        return jnp.concatenate([out, flow], -1)
+
+
+class SepConvGRU(nn.Module):
+    """1x5 then 5x1 separable ConvGRU (reference: gru.py:32-59)."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for name, ker, pad in (("1", (1, 5), ((0, 0), (2, 2))),
+                               ("2", (5, 1), ((2, 2), (0, 0)))):
+            hx = jnp.concatenate([h, x], -1)
+            z = nn.sigmoid(nn.Conv(self.hidden_dim, ker, padding=pad,
+                                   name=f"convz{name}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden_dim, ker, padding=pad,
+                                   name=f"convr{name}")(hx))
+            q = jnp.tanh(nn.Conv(self.hidden_dim, ker, padding=pad,
+                                 name=f"convq{name}")(
+                jnp.concatenate([r * h, x], -1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class FlowHead(nn.Module):
+    """(reference: gru.py:5-13)."""
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.hidden_dim, (3, 3), padding="SAME", name="conv1")(x))
+        return nn.Conv(2, (3, 3), padding="SAME", name="conv2")(x)
+
+
+class GMAUpdateBlock(nn.Module):
+    """Motion enc + GMA aggregation -> GRU -> flow head + upsample mask
+    (reference: gru.py:307-334)."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow, attention):
+        motion = BasicMotionEncoder(self.cfg, name="encoder")(flow, corr)
+        motion_global = GmaAggregate(name="aggregator")(attention, motion)
+        inp_cat = jnp.concatenate([inp, motion, motion_global], -1)
+        net = SepConvGRU(name="gru")(net, inp_cat)
+        delta_flow = FlowHead(name="flow_head")(net)
+        mask = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="mask1")(net))
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask2")(mask)
+        return net, mask, delta_flow
+
+
+class DecoderCrossAttention(nn.Module):
+    """Per-pixel query into the latent cost memory, keyed once
+    (reference: decoder.py:30-136; flow_or_pe='and', pe='linear')."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, query, key, value, memory, coord_enc):
+        """query (B*, 1, Dq); memory (B*, K, Dm); coord_enc (B*, 1, Dq)."""
+        c = self.cfg
+        Dq = c.query_latent_dim
+        if key is None:
+            key = nn.Dense(Dq, name="k")(memory)
+            value = nn.Dense(Dq, name="v")(memory)
+        short_cut = query
+        q_in = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
+        if c.flow_or_pe == "and":
+            q = nn.Dense(Dq, name="q")(q_in + coord_enc)
+        elif c.flow_or_pe == "pe":
+            q = nn.Dense(Dq, name="q")(coord_enc)
+        else:
+            q = nn.Dense(Dq, name="q")(q_in)
+        x = multi_head_attention(q, key, value, heads=8)
+        x = nn.Dense(Dq, name="proj")(x)
+        x = short_cut + x
+        x = x + TokenFfn(Dq, name="ffn")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
+        return x, key, value
+
+
+def encode_flow_token(cost_maps, coords, r: int = 4):
+    """Sample a (2r+1)^2 window of the cost map around per-pixel coords.
+
+    cost_maps: (B, H1, W1, H2, W2, heads); coords: (B, H1, W1, 2).
+    Returns (B, H1, W1, (2r+1)^2 * heads) ordered (dy, dx, head) to match the
+    reference channel layout (decoder.py:242-260 + bilinear_sampler view).
+    """
+    B, H1, W1, H2, W2, heads = cost_maps.shape
+    win = 2 * r + 1
+    lin = jnp.linspace(-r, r, win, dtype=coords.dtype)
+    # window channel order matches the reference quirk: delta[a, b] adds
+    # (lin[a] to x, lin[b] to y), i.e. the window is scanned x-major
+    # (decoder.py:250-256 stacks meshgrid(dy, dx) onto xy-ordered coords).
+    da, db = jnp.meshgrid(lin, lin, indexing="ij")
+    delta = jnp.stack([da, db], -1)  # (win, win, 2): (+x, +y)
+
+    cm = cost_maps.reshape(B * H1 * W1, H2, W2, heads)
+    cen = coords.reshape(B * H1 * W1, 1, 1, 2)
+    pts = cen + delta[None]  # (B*, win, win, 2)
+    corr = jax.vmap(bilinear_sampler)(cm, pts)  # (B*, win, win, heads)
+    return corr.reshape(B, H1, W1, win * win * heads)
+
+
+class MemoryDecoder(nn.Module):
+    """RAFT-style recurrent decoder over the latent cost memory
+    (reference: decoder.py:138-344)."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, cost_memory, context, cost_maps, h3w3):
+        c = self.cfg
+        B, H1, W1, _ = context.shape
+        ctx = nn.Conv(256, (1, 1), name="proj")(context)
+        net, inp = jnp.split(ctx, 2, axis=-1)
+        net = jnp.tanh(net)
+        inp = nn.relu(inp)
+        attention = GmaAttention(name="att")(inp)
+
+        grid = coords_grid(H1, W1, dtype=context.dtype)
+        coords0 = jnp.broadcast_to(grid[None], (B, H1, W1, 2))
+
+        flow_token_encoder = [
+            nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc1"),
+            nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc2"),
+        ]
+        decoder_layer = DecoderCrossAttention(c, name="decoder_layer")
+        update_block = GMAUpdateBlock(c, name="update_block")
+
+        coords1 = coords0
+        flow_predictions = []
+        kv = (None, None)
+        for _ in range(c.decoder_depth):
+            coords1 = jax.lax.stop_gradient(coords1)
+            cost_forward = encode_flow_token(cost_maps, coords1, r=c.lookup_radius)
+
+            q = flow_token_encoder[0](cost_forward)
+            q = nn.gelu(q, approximate=False)
+            q = flow_token_encoder[1](q)
+            query = q.reshape(B * H1 * W1, 1, c.query_latent_dim)
+
+            query_coord = coords1 if not c.use_rpe else coords1 - coords0
+            qc = query_coord.reshape(B * H1 * W1, 1, 2)
+            coord_enc = linear_position_embedding_sine(qc, dim=c.query_latent_dim)
+
+            cost_global, k_, v_ = decoder_layer(query, kv[0], kv[1],
+                                                cost_memory, coord_enc)
+            kv = (k_, v_)
+            cost_global = cost_global.reshape(B, H1, W1, c.query_latent_dim)
+
+            corr = jnp.concatenate([cost_global, cost_forward], -1)
+            flow = coords1 - coords0
+            net, up_mask, delta_flow = update_block(net, inp, corr, flow, attention)
+            coords1 = coords1 + delta_flow
+            flow_up = convex_upsample_flow_b(coords1 - coords0, up_mask)
+            flow_predictions.append(flow_up)
+
+        return flow_predictions, coords1 - coords0
+
+
+class FlowFormer(nn.Module):
+    """Top-level model (reference: transformer.py:16-65). Inputs NHWC uint8
+    range [0,255]; returns (list of upsampled flows, low-res flow)."""
+    cfg: FlowFormerConfig = FlowFormerConfig()
+
+    @nn.compact
+    def __call__(self, image1, image2):
+        image1 = 2 * (image1 / 255.0) - 1.0
+        image2 = 2 * (image2 / 255.0) - 1.0
+
+        context, _ = TwinsSVT(name="context_encoder")(image1)
+        cost_memory, cost_patches, cost_maps, h3w3 = MemoryEncoder(
+            self.cfg, name="memory_encoder")(image1, image2, context)
+        flow_predictions, flow_lr = MemoryDecoder(
+            self.cfg, name="memory_decoder")(cost_memory, context, cost_maps, h3w3)
+        return flow_predictions, flow_lr

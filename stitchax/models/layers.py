@@ -1,0 +1,129 @@
+"""Shared Flax building blocks for the stitchax model zoo.
+
+Token layout is (B, N, C); image layout NHWC. Position encodings follow the
+reference's LinearPositionEmbeddingSine exactly
+(reference: core/FlowFormer/PerCostFormer3/attention.py:156-161).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def linear_position_embedding_sine(x: jnp.ndarray, dim: int = 128,
+                                   normalize_factor: float = 1.0 / 200) -> jnp.ndarray:
+    """x: (..., 2) coordinates -> (..., dim) sin/cos features.
+
+    Reference: core/FlowFormer/PerCostFormer3/attention.py:156-161 (note the
+    3.14 literal, kept for weight-level parity).
+    """
+    freqs = jnp.linspace(0.0, dim // 4 - 1, dim // 4, dtype=x.dtype)
+    fx = 3.14 * x[..., -2:-1] * freqs * normalize_factor
+    fy = 3.14 * x[..., -1:] * freqs * normalize_factor
+    return jnp.concatenate(
+        [jnp.sin(fx), jnp.cos(fx), jnp.sin(fy), jnp.cos(fy)], axis=-1)
+
+
+def exp_position_embedding_sine(x: jnp.ndarray, dim: int = 128,
+                                normalize_factor: float = 1.0 / 200) -> jnp.ndarray:
+    """Reference: core/FlowFormer/PerCostFormer3/attention.py:163-167."""
+    freqs = jnp.linspace(0.0, dim // 4 - 1, dim // 4, dtype=x.dtype)
+    s = normalize_factor * 2.0 ** freqs
+    fx = x[..., -2:-1] * s
+    fy = x[..., -1:] * s
+    return jnp.concatenate(
+        [jnp.sin(fx), jnp.cos(fx), jnp.sin(fy), jnp.cos(fy)], axis=-1)
+
+
+def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         heads: int) -> jnp.ndarray:
+    """Plain softmax attention on (B, N, C) tokens with the reference's scale
+    convention: scale = (dim/heads)^-0.5 applied to the logits
+    (reference: core/FlowFormer/PerCostFormer3/attention.py:43-68)."""
+    B, Nq, C = q.shape
+    d = C // heads
+    scale = d ** -0.5
+    qh = q.reshape(B, Nq, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, k.shape[1], heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, v.shape[1], heads, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhid,bhjd->bhij", qh, kh) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+    return out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> GELU -> fc2 (timm Mlp parity)."""
+    hidden_dim: int
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(out_dim, name="fc2")(x)
+        return x
+
+
+class TokenFfn(nn.Module):
+    """The reference's dense->GELU->dense ffn used in its attention layers
+    (e.g. core/FlowFormer/PerCostFormer3/encoder.py:148-154); hidden == dim."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, name="fc2")(x)
+        return x
+
+
+class Conv(nn.Module):
+    """2D conv over NHWC with torch-style explicit padding."""
+    features: int
+    kernel: tuple
+    stride: tuple = (1, 1)
+    padding: tuple | str = "SAME"
+    use_bias: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, tuple):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        return nn.Conv(self.features, self.kernel, strides=self.stride,
+                       padding=pad, use_bias=self.use_bias,
+                       feature_group_count=self.groups, name="conv")(x)
+
+
+def window_partition(x: jnp.ndarray, ws: int):
+    """(B, H, W, C) -> (B, nH*nW, ws*ws, C); H, W must divide ws (pad first)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, (H // ws) * (W // ws), ws * ws, C)
+
+
+def window_merge(x: jnp.ndarray, ws: int, H: int, W: int):
+    """Inverse of window_partition."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    x = x.reshape(B, H // ws, W // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def pad_to_multiple(x: jnp.ndarray, m: int):
+    """Pad (B, H, W, C) bottom/right to multiples of m; returns (x, (H, W))."""
+    B, H, W, C = x.shape
+    ph = (m - H % m) % m
+    pw = (m - W % m) % m
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x, (H, W)

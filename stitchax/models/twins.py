@@ -1,0 +1,302 @@
+"""Twins-SVT encoder (stages 1-2 of twins_svt_large) in Flax.
+
+The reference vendors timm's twins_svt_large and deletes stages 3-4, using
+the stage-2 (1/8-res, 256-ch) tokens as flow/context features
+(reference: core/FlowFormer/encoders.py:7-40, core/FlowFormer/PerCostFormer3/twins.py).
+This is a clean NHWC reimplementation of exactly the subset used:
+
+  stage k: PatchEmbed -> [LSA block (ws=7) -> PEG -> GSA block (sr_ratio)]
+
+plus the RPE+context block variants used by the cost encoder's vertical
+attention (twins.py:229-392, Block dispatcher twins.py:752-790).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (Mlp, linear_position_embedding_sine, pad_to_multiple,
+                     window_merge, window_partition)
+
+
+class PatchEmbed(nn.Module):
+    """Strided-conv patch embedding + LayerNorm (twins.py:813-838)."""
+    patch_size: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", name="proj")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return x  # (B, H/p, W/p, D)
+
+
+class PosConv(nn.Module):
+    """PEG positional encoding: depthwise 3x3 conv + residual (twins.py:793-807)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        y = nn.Conv(self.dim, (3, 3), padding="SAME",
+                    feature_group_count=self.dim, name="proj")(x)
+        return y + x
+
+
+class LocallyGroupedAttn(nn.Module):
+    """LSA: windowed self-attention, fused qkv (timm twins parity)."""
+    dim: int
+    num_heads: int
+    ws: int = 7
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        B, H, W, C = x.shape
+        x, (h0, w0) = pad_to_multiple(x, self.ws)
+        Hp, Wp = x.shape[1], x.shape[2]
+        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
+        qkv = window_partition(qkv, self.ws)  # (B, nW, ws*ws, 3C)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        d = self.dim // self.num_heads
+        scale = d ** -0.5
+
+        def split_heads(t):
+            Bn, Nw, T, _ = t.shape
+            return t.reshape(Bn, Nw, T, self.num_heads, d).transpose(0, 1, 3, 2, 4)
+
+        qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+        attn = jax.nn.softmax(jnp.einsum("bnhid,bnhjd->bnhij", qh, kh) * scale, -1)
+        out = jnp.einsum("bnhij,bnhjd->bnhid", attn, vh)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B, -1, self.ws * self.ws, C)
+        out = window_merge(out, self.ws, Hp, Wp)[:, :h0, :w0]
+        out = nn.Dense(self.dim, name="proj")(out)
+        return out
+
+
+class GlobalSubSampleAttn(nn.Module):
+    """GSA: q on all tokens, kv on sr-ratio-subsampled tokens (timm parity)."""
+    dim: int
+    num_heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        B, H, W, C = x.shape
+        q = nn.Dense(self.dim, name="q")(x).reshape(B, H * W, C)
+        if self.sr_ratio > 1:
+            xs = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
+                         strides=(self.sr_ratio, self.sr_ratio),
+                         padding="VALID", name="sr")(x)
+            xs = nn.LayerNorm(epsilon=1e-5, name="norm")(xs)
+        else:
+            xs = x
+        kv = nn.Dense(self.dim * 2, name="kv")(xs)
+        kv = kv.reshape(B, -1, 2 * C)
+        k, v = jnp.split(kv, 2, axis=-1)
+        d = self.dim // self.num_heads
+        scale = d ** -0.5
+        qh = q.reshape(B, -1, self.num_heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, -1, self.num_heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, -1, self.num_heads, d).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", qh, kh) * scale, -1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
+        out = nn.Dense(self.dim, name="proj")(out)
+        return out
+
+
+class TwinsBlock(nn.Module):
+    """Pre-norm block: x + attn(norm1 x); x + mlp(norm2 x)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+    ws: int = 7          # ws==1 -> GSA
+    sr_ratio: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        if self.ws == 1:
+            attn = GlobalSubSampleAttn(self.dim, self.num_heads, self.sr_ratio,
+                                       name="attn")
+        else:
+            attn = LocallyGroupedAttn(self.dim, self.num_heads, self.ws,
+                                      name="attn")
+        x = x + attn(nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + Mlp(self.dim * self.mlp_ratio, name="mlp")(y)
+        return x
+
+
+class TwinsSVT(nn.Module):
+    """Stages 1-2 of twins_svt_large: dims (128, 256), heads (4, 8),
+    depths (2, 2), ws 7, sr_ratios (8, 4), patch sizes (4, 2).
+
+    Returns (stage2_feat 1/8-res 256ch, stage1_feat 1/4-res 128ch) — the
+    (x, x_16) pair of the reference encoder (core/FlowFormer/encoders.py:21-40).
+    """
+    embed_dims: Tuple[int, ...] = (128, 256)
+    num_heads: Tuple[int, ...] = (4, 8)
+    depths: Tuple[int, ...] = (2, 2)
+    patch_sizes: Tuple[int, ...] = (4, 2)
+    sr_ratios: Tuple[int, ...] = (8, 4)
+    ws: int = 7
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 3)
+        x_quarter = None
+        for i, dim in enumerate(self.embed_dims):
+            x = PatchEmbed(self.patch_sizes[i], dim, name=f"patch_embed{i}")(x)
+            for j in range(self.depths[i]):
+                ws = self.ws if j % 2 == 0 else 1
+                x = TwinsBlock(dim, self.num_heads[i], self.mlp_ratio, ws,
+                               self.sr_ratios[i], name=f"block{i}_{j}")(x)
+                if j == 0:
+                    x = PosConv(dim, name=f"pos_block{i}")(x)
+            if i == 0:
+                x_quarter = x
+        return x, x_quarter
+
+
+# ---------------------------------------------------------------------------
+# RPE + context variants used by the cost encoder's vertical attention
+# (reference: twins.py:229-392; instantiated at encoder.py:99-125 with
+#  vert_c_dim=64, encoder_latent_dim=256, num_heads=8, ws=7, sr_ratio=4).
+# ---------------------------------------------------------------------------
+
+
+class LocallyGroupedAttnRPEContext(nn.Module):
+    """Windowed attention with window-local sine RPE added to q/k inputs and a
+    projected context concatenated to the q/k stream (twins.py:229-304)."""
+    dim: int
+    num_heads: int
+    ws: int
+    vert_c_dim: int
+
+    @nn.compact
+    def __call__(self, x, context):  # x (B, H, W, C), context (B, H, W, Cc)
+        B, H, W, C = x.shape
+        Cqk = C + self.vert_c_dim
+        ctx = nn.Dense(self.vert_c_dim, name="context_proj")(context)
+        x_qk = jnp.concatenate([x, ctx], axis=-1)
+
+        x, (h0, w0) = pad_to_multiple(x, self.ws)
+        x_qk, _ = pad_to_multiple(x_qk, self.ws)
+        Hp, Wp = x.shape[1], x.shape[2]
+
+        # window-local coordinate embedding (coords_grid of the window)
+        gy, gx = jnp.meshgrid(jnp.arange(self.ws, dtype=x.dtype),
+                              jnp.arange(self.ws, dtype=x.dtype), indexing="ij")
+        coords = jnp.stack([gx, gy], -1)  # (ws, ws, 2) xy
+        enc = linear_position_embedding_sine(coords, dim=Cqk)
+
+        v = nn.Dense(self.dim, name="v")(x)
+        vw = window_partition(v, self.ws)
+
+        x_qk = window_partition(x_qk, self.ws)  # (B, nW, ws*ws, Cqk)
+        x_qk = x_qk + enc.reshape(1, 1, self.ws * self.ws, Cqk)
+        q = nn.Dense(self.dim, name="q")(x_qk)
+        k = nn.Dense(self.dim, name="k")(x_qk)
+
+        d = self.dim // self.num_heads
+        scale = d ** -0.5
+
+        def heads(t):
+            Bn, Nw, T, _ = t.shape
+            return t.reshape(Bn, Nw, T, self.num_heads, d).transpose(0, 1, 3, 2, 4)
+
+        qh, kh, vh = heads(q), heads(k), heads(vw)
+        attn = jax.nn.softmax(jnp.einsum("bnhid,bnhjd->bnhij", qh, kh) * scale, -1)
+        out = jnp.einsum("bnhij,bnhjd->bnhid", attn, vh)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B, -1, self.ws * self.ws, C)
+        out = window_merge(out, self.ws, Hp, Wp)[:, :h0, :w0]
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class GlobalSubSampleAttnRPEContext(nn.Module):
+    """Subsampled global attention with absolute sine RPE and context on the
+    q/k stream (twins.py:306-392)."""
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    vert_c_dim: int
+
+    @nn.compact
+    def __call__(self, x, context):  # (B, H, W, C), (B, H, W, Cc)
+        B, H, W, C = x.shape
+        Cqk = C + self.vert_c_dim
+        ctx = nn.Dense(self.vert_c_dim, name="context_proj")(context)
+        x_qk = jnp.concatenate([x, ctx], axis=-1)
+        x, (h0, w0) = pad_to_multiple(x, self.sr_ratio)
+        x_qk, _ = pad_to_multiple(x_qk, self.sr_ratio)
+        Hp, Wp = x.shape[1], x.shape[2]
+
+        gy, gx = jnp.meshgrid(jnp.arange(Hp, dtype=x.dtype),
+                              jnp.arange(Wp, dtype=x.dtype), indexing="ij")
+        coords = jnp.stack([gx, gy], -1)
+        enc_q = linear_position_embedding_sine(coords, dim=Cqk)
+        q = nn.Dense(self.dim, name="q")(x_qk + enc_q[None])
+
+        if self.sr_ratio > 1:
+            xv = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
+                         strides=(self.sr_ratio, self.sr_ratio),
+                         padding="VALID", name="sr_value")(x)
+            xk = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
+                         strides=(self.sr_ratio, self.sr_ratio),
+                         padding="VALID", name="sr_key")(x_qk)
+            norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+            xv = norm(xv)
+            xk = norm(xk)
+        else:
+            xv, xk = x, x_qk
+
+        hs, ws_ = Hp // self.sr_ratio, Wp // self.sr_ratio
+        gy, gx = jnp.meshgrid(jnp.arange(hs, dtype=x.dtype),
+                              jnp.arange(ws_, dtype=x.dtype), indexing="ij")
+        coords_s = jnp.stack([gx, gy], -1) * self.sr_ratio
+        enc_k = linear_position_embedding_sine(coords_s, dim=self.dim)
+        k = nn.Dense(self.dim, name="k")(xk + enc_k[None])
+        v = nn.Dense(self.dim, name="v")(xv)
+
+        d = self.dim // self.num_heads
+        scale = d ** -0.5
+
+        def heads(t, n):
+            return t.reshape(B, n, self.num_heads, d).transpose(0, 2, 1, 3)
+
+        qh = heads(q.reshape(B, Hp * Wp, C), Hp * Wp)
+        kh = heads(k.reshape(B, hs * ws_, C), hs * ws_)
+        vh = heads(v.reshape(B, hs * ws_, C), hs * ws_)
+        attn = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", qh, kh) * scale, -1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Hp, Wp, C)[:, :h0, :w0]
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class TwinsBlockRPEContext(nn.Module):
+    """Pre-norm block around the RPE+context attention (twins.py:752-790)."""
+    dim: int
+    num_heads: int
+    ws: int          # ws==1 -> global subsample
+    sr_ratio: int
+    vert_c_dim: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x, context):  # (B, H, W, C)
+        if self.ws == 1:
+            attn = GlobalSubSampleAttnRPEContext(
+                self.dim, self.num_heads, self.sr_ratio, self.vert_c_dim,
+                name="attn")
+        else:
+            attn = LocallyGroupedAttnRPEContext(
+                self.dim, self.num_heads, self.ws, self.vert_c_dim, name="attn")
+        x = x + attn(nn.LayerNorm(epsilon=1e-6, name="norm1")(x), context)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + Mlp(self.dim * self.mlp_ratio, name="mlp")(y)
+        return x

@@ -1,0 +1,88 @@
+"""Binary morphology on masks via reduce_window (TPU-friendly min/max pools).
+
+The reference implements erosion/dilation as all-ones conv + threshold
+(reference: core/flowHomoAdpater.py:18-35) and cv2.erode/dilate
+(reference: core/inference/tps_pipline.py:141-147). With a rectangular
+all-ones structuring element those are exactly min/max pooling, which XLA
+lowers to fast reduce_window ops — no conv needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pool(mask: jnp.ndarray, k, op) -> jnp.ndarray:
+    """mask: (..., H, W, C); k: (kh, kw); SAME padding with op identity."""
+    kh, kw = k
+    init = jnp.array(-jnp.inf if op is jax.lax.max else jnp.inf, mask.dtype)
+    ndim = mask.ndim
+    window = [1] * ndim
+    window[-3], window[-2] = kh, kw
+    pads = [(0, 0)] * ndim
+    pads[-3] = ((kh - 1) // 2, kh // 2)
+    pads[-2] = ((kw - 1) // 2, kw // 2)
+    return jax.lax.reduce_window(mask, init, op, window, [1] * ndim, pads)
+
+
+def dilate(mask: jnp.ndarray, kernel_size=(3, 3)) -> jnp.ndarray:
+    return _pool(mask, kernel_size, jax.lax.max)
+
+
+def erode(mask: jnp.ndarray, kernel_size=(3, 3)) -> jnp.ndarray:
+    return _pool(mask, kernel_size, jax.lax.min)
+
+
+def morph_open(mask: jnp.ndarray, kernel_size=(3, 3)) -> jnp.ndarray:
+    """Erosion followed by dilation."""
+    return dilate(erode(mask, kernel_size), kernel_size)
+
+
+def morph_close(mask: jnp.ndarray, kernel_size=(3, 3)) -> jnp.ndarray:
+    return erode(dilate(mask, kernel_size), kernel_size)
+
+
+def preprocess_occlusion_mask(occ: jnp.ndarray, kernel_size=(19, 19)) -> jnp.ndarray:
+    """Binarize at 0.5 then morphological open with a 19x19 box, matching the
+    reference's conv-based implementation exactly, including its SAME-padding
+    edge behaviour: the conv erosion requires the *full* kernel count even at
+    borders, so border pixels always erode to 0
+    (reference: core/flowHomoAdpater.py:18-35)."""
+    m = (occ >= 0.5).astype(occ.dtype)
+    kh, kw = kernel_size
+    # conv-with-zero-padding erosion: border never reaches kh*kw -> emulate by
+    # zero-padding before min-pool (jnp pad with 0, not +inf)
+    ndim = m.ndim
+    pads = [(0, 0)] * ndim
+    pads[-3] = ((kh - 1) // 2, kh // 2)
+    pads[-2] = ((kw - 1) // 2, kw // 2)
+    padded = jnp.pad(m, pads)
+    window = [1] * ndim
+    window[-3], window[-2] = kh, kw
+    eroded = jax.lax.reduce_window(
+        padded, jnp.array(jnp.inf, m.dtype), jax.lax.min,
+        window, [1] * ndim, [(0, 0)] * ndim)
+    dilated = dilate(eroded, kernel_size)
+    return (dilated >= 0.5).astype(occ.dtype)
+
+
+def avg_pool_same(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Average pool stride 1, SAME padding with zero-padded borders, matching
+    torch F.avg_pool2d(count_include_pad=True) used to smooth flow before TPS
+    sampling (reference: core/inference/tps_pipline.py:213-244)."""
+    k = (kernel_size, kernel_size)
+    summed = _sum_pool(x, k)
+    return summed / (kernel_size * kernel_size)
+
+
+def _sum_pool(x: jnp.ndarray, k) -> jnp.ndarray:
+    kh, kw = k
+    ndim = x.ndim
+    window = [1] * ndim
+    window[-3], window[-2] = kh, kw
+    pads = [(0, 0)] * ndim
+    pads[-3] = ((kh - 1) // 2, kh // 2)
+    pads[-2] = ((kw - 1) // 2, kw // 2)
+    return jax.lax.reduce_window(x, jnp.array(0, x.dtype), jax.lax.add,
+                                 window, [1] * ndim, pads)

@@ -1,0 +1,56 @@
+"""Shape/sanity tests for the model zoo at tiny resolutions."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stitchax.models import (CompositionNet, FlowFormer, FlowFormerConfig,
+                             TwinsSVT, UDIS2HomographyNet, compose_seam)
+
+
+class TestTwins:
+    def test_shapes(self, rng):
+        model = TwinsSVT()
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        feat, feat_q = model.apply(params, x)
+        assert feat.shape == (1, 8, 8, 256)
+        assert feat_q.shape == (1, 16, 16, 128)
+
+
+class TestFlowFormer:
+    def test_forward_shapes(self, rng):
+        cfg = FlowFormerConfig(decoder_depth=2, encoder_depth=1)
+        model = FlowFormer(cfg)
+        img = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        preds, flow_lr = model.apply(params, img, img)
+        assert len(preds) == 2
+        assert preds[-1].shape == (1, 64, 64, 2)
+        assert flow_lr.shape == (1, 8, 8, 2)
+        assert np.isfinite(np.asarray(preds[-1])).all()
+
+
+class TestUDIS2:
+    def test_homography_net(self, rng):
+        model = UDIS2HomographyNet()
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, x)
+        offsets = model.apply(variables, x, x)
+        assert offsets.shape == (1, 8)
+        assert np.isfinite(np.asarray(offsets)).all()
+
+    def test_composition_net(self, rng):
+        model = CompositionNet()
+        w1 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+        w2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+        m1 = jnp.ones((1, 64, 64, 1), jnp.float32)
+        m2 = jnp.ones((1, 64, 64, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), w1, w2, m1, m2)
+        out = model.apply(params, w1, w2, m1, m2)
+        assert out.shape == (1, 64, 64, 1)
+        assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+        blend = compose_seam(out, w1, w2, m1, m2)
+        assert blend["stitched_image"].shape == (1, 64, 64, 3)
