@@ -1,0 +1,73 @@
+"""Headline benchmark: aligned pairs/sec/chip for the device-side hot path.
+
+Times the full alignment device step at the reference's operating point
+(512x512, shipped percostformer3 config, fb-consistency on => homography net
++ two FlowFormer passes), the stage that dominates the reference's per-pair
+GPU time (SURVEY.md §3.1 hot loops). Prints ONE JSON line.
+
+`vs_baseline` is value / REFERENCE_PAIRS_PER_SEC. The reference publishes no
+numbers (BASELINE.md), so REFERENCE_PAIRS_PER_SEC = 1.0 pairs/s stands in as
+the nominal reference rate for its CUDA pipeline at the same operating point
+(FlowFormer++ fwd+bwd + UDIS2 homo at 512² plus its host round-trips);
+replace with a measured value when reference checkpoints are available.
+"""
+
+import json
+import time
+
+REFERENCE_PAIRS_PER_SEC = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stitchax.align.adapter import AlignConfig, stitch_model_step
+    from stitchax.models import FlowFormer, FlowFormerConfig, UDIS2HomographyNet
+
+    backend = jax.default_backend()
+    B, S = 1, 512
+
+    flow_model = FlowFormer(FlowFormerConfig())
+    homo_model = UDIS2HomographyNet()
+
+    k = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, S, S, 3), jnp.float32)
+    flow_params = flow_model.init(k, img, img)
+    homo_params = homo_model.init(k, img, img)
+
+    homo_fn = lambda a, b: homo_model.apply(homo_params, a, b)
+    flow_fn = lambda a, b: flow_model.apply(flow_params, a, b)
+    cfg = AlignConfig()
+
+    @jax.jit
+    def step(img1, img2):
+        out = stitch_model_step(homo_fn, flow_fn, img1, img2, cfg)
+        return out["flow"], out["H"], out["origin_occlusion_mask"]
+
+    import numpy as np
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32)
+
+    # warmup/compile
+    jax.block_until_ready(step(img1, img2))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(img1, img2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = iters * B / dt
+    print(json.dumps({
+        "metric": f"align_pairs_per_sec_per_chip_512 ({backend})",
+        "value": round(pairs_per_sec, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

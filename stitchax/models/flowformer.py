@@ -358,9 +358,50 @@ def encode_flow_token(cost_maps, coords, r: int = 4):
     return corr.reshape(B, H1, W1, win * win * heads)
 
 
+class DecoderIteration(nn.Module):
+    """One recurrent refinement step, shared-weight across iterations
+    (reference: decoder.py:262-344 loop body). Structured for nn.scan:
+    carry = (net, coords1); broadcast consts ride outside the scan axis."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        c = self.cfg
+        net, coords1 = carry
+        inp, attention, cost_maps, key, value, coords0 = consts
+        B, H1, W1, _ = coords1.shape
+
+        coords1 = jax.lax.stop_gradient(coords1)
+        cost_forward = encode_flow_token(cost_maps, coords1, r=c.lookup_radius)
+
+        q = nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc1")(cost_forward)
+        q = nn.gelu(q, approximate=False)
+        q = nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc2")(q)
+        query = q.reshape(B * H1 * W1, 1, c.query_latent_dim)
+
+        query_coord = coords1 if not c.use_rpe else coords1 - coords0
+        qc = query_coord.reshape(B * H1 * W1, 1, 2)
+        coord_enc = linear_position_embedding_sine(qc, dim=c.query_latent_dim)
+
+        cost_global, _, _ = DecoderCrossAttention(c, name="decoder_layer")(
+            query, key, value, None, coord_enc)
+        cost_global = cost_global.reshape(B, H1, W1, c.query_latent_dim)
+
+        corr = jnp.concatenate([cost_global, cost_forward], -1)
+        flow = coords1 - coords0
+        net, up_mask, delta_flow = GMAUpdateBlock(c, name="update_block")(
+            net, inp, corr, flow, attention)
+        coords1 = coords1 + delta_flow
+        flow_up = convex_upsample_flow_b(coords1 - coords0, up_mask)
+        return (net, coords1), flow_up
+
+
 class MemoryDecoder(nn.Module):
     """RAFT-style recurrent decoder over the latent cost memory
-    (reference: decoder.py:138-344)."""
+    (reference: decoder.py:138-344). The iteration loop is an nn.scan with
+    broadcast weights, so the model traces/compiles the body once instead of
+    decoder_depth times — the TPU-native answer to the reference's python
+    loop."""
     cfg: FlowFormerConfig
 
     @nn.compact
@@ -376,41 +417,21 @@ class MemoryDecoder(nn.Module):
         grid = coords_grid(H1, W1, dtype=context.dtype)
         coords0 = jnp.broadcast_to(grid[None], (B, H1, W1, 2))
 
-        flow_token_encoder = [
-            nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc1"),
-            nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc2"),
-        ]
-        decoder_layer = DecoderCrossAttention(c, name="decoder_layer")
-        update_block = GMAUpdateBlock(c, name="update_block")
+        # cost-memory keys/values are iteration-invariant: computed once
+        # (the reference caches them on the first iteration, decoder.py:86-99)
+        Dq = c.query_latent_dim
+        key = nn.Dense(Dq, name="memory_k")(cost_memory)
+        value = nn.Dense(Dq, name="memory_v")(cost_memory)
 
-        coords1 = coords0
-        flow_predictions = []
-        kv = (None, None)
-        for _ in range(c.decoder_depth):
-            coords1 = jax.lax.stop_gradient(coords1)
-            cost_forward = encode_flow_token(cost_maps, coords1, r=c.lookup_radius)
-
-            q = flow_token_encoder[0](cost_forward)
-            q = nn.gelu(q, approximate=False)
-            q = flow_token_encoder[1](q)
-            query = q.reshape(B * H1 * W1, 1, c.query_latent_dim)
-
-            query_coord = coords1 if not c.use_rpe else coords1 - coords0
-            qc = query_coord.reshape(B * H1 * W1, 1, 2)
-            coord_enc = linear_position_embedding_sine(qc, dim=c.query_latent_dim)
-
-            cost_global, k_, v_ = decoder_layer(query, kv[0], kv[1],
-                                                cost_memory, coord_enc)
-            kv = (k_, v_)
-            cost_global = cost_global.reshape(B, H1, W1, c.query_latent_dim)
-
-            corr = jnp.concatenate([cost_global, cost_forward], -1)
-            flow = coords1 - coords0
-            net, up_mask, delta_flow = update_block(net, inp, corr, flow, attention)
-            coords1 = coords1 + delta_flow
-            flow_up = convex_upsample_flow_b(coords1 - coords0, up_mask)
-            flow_predictions.append(flow_up)
-
+        scan = nn.scan(DecoderIteration,
+                       variable_broadcast="params",
+                       split_rngs={"params": False},
+                       in_axes=nn.broadcast, out_axes=0,
+                       length=c.decoder_depth)
+        consts = (inp, attention, cost_maps, key, value, coords0)
+        (net, coords1), flows = scan(c, name="iteration")((net, coords0),
+                                                          consts)
+        flow_predictions = [flows[i] for i in range(c.decoder_depth)]
         return flow_predictions, coords1 - coords0
 
 

@@ -20,7 +20,8 @@ from .occlusion import (mask_invalid, compute_range_map, compute_range_map_b,
                         compute_fb_consistency, compute_occlusion,
                         compute_occlusion_b)
 from .morphology import (dilate, erode, morph_open, morph_close,
-                         preprocess_occlusion_mask, avg_pool_same)
+                         preprocess_occlusion_mask, avg_pool_same,
+                         dilate_thin_area, dilate_binary)
 from .splat import bilinear_splat, bilinear_splat_b, forward_warp_with_flow
 from .filters import sobel_magnitude, rgb_to_gray
 

@@ -86,3 +86,49 @@ def _sum_pool(x: jnp.ndarray, k) -> jnp.ndarray:
     pads[-2] = ((kw - 1) // 2, kw // 2)
     return jax.lax.reduce_window(x, jnp.array(0, x.dtype), jax.lax.add,
                                  window, [1] * ndim, pads)
+
+
+def _even_pool(x: jnp.ndarray, k: int, op, init) -> jnp.ndarray:
+    """Even-kernel pool matching torch conv2d(padding=k//2) + crop-to-input:
+    window at output i covers rows [i - k//2, i + k//2 - 1]."""
+    ndim = x.ndim
+    window = [1] * ndim
+    window[-3], window[-2] = k, k
+    pads = [(0, 0)] * ndim
+    pads[-3] = (k // 2, k - 1 - k // 2)
+    pads[-2] = (k // 2, k - 1 - k // 2)
+    return jax.lax.reduce_window(x, jnp.array(init, x.dtype), op,
+                                 window, [1] * ndim, pads)
+
+
+def dilate_thin_area(mask: jnp.ndarray, dilation_kernel_size: int = 8,
+                     thickening_kernel_size: int = 8) -> jnp.ndarray:
+    """Split a hole mask into thick/thin parts and dilate only the thin part,
+    so skinny hole slivers stay inpaintable after downstream resizing
+    (reference: core/inference/utils.py:124-160). mask: (..., H, W, C); uses
+    channel 0, result broadcast back to C channels.
+
+    The reference's conv-erosion requires the full k*k count, so zero-padded
+    borders always erode; emulated by zero-identity padding on the min pool.
+    """
+    m = mask[..., 0:1]
+    k = dilation_kernel_size
+    eroded = _even_pool(m, k, jax.lax.min, 0.0)  # zero pad => border erodes
+    opened = (_even_pool((eroded == 1.0).astype(m.dtype), k, jax.lax.max, 0.0)
+              >= 1.0).astype(m.dtype)
+    thick = jnp.clip(m * opened, 0, 1)
+    thin = m * (1.0 - thick)
+    t = thickening_kernel_size
+    thin_d = (_even_pool(thin, t, jax.lax.max, 0.0) >= 1.0).astype(m.dtype)
+    out = jnp.clip(thick + thin_d, 0, 1)
+    return jnp.broadcast_to(out, mask.shape)
+
+
+def dilate_binary(mask: jnp.ndarray, kernel_size: int = 3,
+                  iterations: int = 1) -> jnp.ndarray:
+    """cv2.dilate parity on a binary mask (odd all-ones kernel, repeated)
+    (reference: core/inference/utils.py:163-172)."""
+    out = mask
+    for _ in range(iterations):
+        out = dilate(out, (kernel_size, kernel_size))
+    return out

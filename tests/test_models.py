@@ -35,22 +35,28 @@ class TestFlowFormer:
 
 class TestUDIS2:
     def test_homography_net(self, rng):
+        # 128 is the smallest input whose 1/16-res CCL grid survives the
+        # regression head's three stride-2 pools (real input is 512).
         model = UDIS2HomographyNet()
-        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x, x)
         offsets = model.apply(variables, x, x)
         assert offsets.shape == (1, 8)
         assert np.isfinite(np.asarray(offsets)).all()
 
     def test_composition_net(self, rng):
+        # the reference's dilated convs keep padding=1, shrinking feature
+        # maps by 2*(d-1) per conv; 512 is the operating resolution at which
+        # the deepest (d=5) stage still has positive extent
+        S = 512
         model = CompositionNet()
-        w1 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
-        w2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
-        m1 = jnp.ones((1, 64, 64, 1), jnp.float32)
-        m2 = jnp.ones((1, 64, 64, 1), jnp.float32)
+        w1 = jnp.asarray(rng.uniform(-1, 1, (1, S, S, 3)), jnp.float32)
+        w2 = jnp.asarray(rng.uniform(-1, 1, (1, S, S, 3)), jnp.float32)
+        m1 = jnp.ones((1, S, S, 1), jnp.float32)
+        m2 = jnp.ones((1, S, S, 1), jnp.float32)
         params = model.init(jax.random.PRNGKey(0), w1, w2, m1, m2)
         out = model.apply(params, w1, w2, m1, m2)
-        assert out.shape == (1, 64, 64, 1)
+        assert out.shape == (1, S, S, 1)
         assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
         blend = compose_seam(out, w1, w2, m1, m2)
-        assert blend["stitched_image"].shape == (1, 64, 64, 3)
+        assert blend["stitched_image"].shape == (1, S, S, 3)
