@@ -20,6 +20,8 @@ REFERENCE_PAIRS_PER_SEC = 1.0
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stitchax_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from stitchax.align.adapter import AlignConfig, stitch_model_step
@@ -33,8 +35,8 @@ def main():
 
     k = jax.random.PRNGKey(0)
     img = jnp.zeros((1, S, S, 3), jnp.float32)
-    flow_params = flow_model.init(k, img, img)
-    homo_params = homo_model.init(k, img, img)
+    flow_params = jax.jit(flow_model.init)(k, img, img)
+    homo_params = jax.jit(homo_model.init)(k, img, img)
 
     homo_fn = lambda a, b: homo_model.apply(homo_params, a, b)
     flow_fn = lambda a, b: flow_model.apply(flow_params, a, b)

@@ -1,0 +1,110 @@
+"""Stitch CLI — preserved public API of the reference's out.py.
+
+Same flags, same inf_configs plugin mechanism, same per-pair output files
+(reference: out.py:15-28,315-360; README.md:36-39). Runs the TPU-native
+pipeline: align (jit) -> bucketed canvas render (jit) -> TPS breaking (jit)
+-> mix/inpaint -> optional learned composition.
+"""
+
+import argparse
+import os
+import sys
+import traceback
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt_path", type=str, default="./checkpoints/final_ckpt")
+    p.add_argument("--model_config_name", type=str, default="last_config")
+    p.add_argument("--data_root_path", type=str, default="./demo/")
+    p.add_argument("--txt_file", type=str, default="demo.txt")
+    p.add_argument("--gpu", type=str, default="0",
+                   help="kept for CLI compatibility; device selection is "
+                        "JAX-managed on TPU")
+    p.add_argument("--inf_cfg", type=str,
+                   default="all_img1_with_inpaint_g12_transRef")
+    p.add_argument("--result_dir", type=str, default="results")
+    p.add_argument("--skip_if_avg_fusion_exists", action="store_true",
+                   default=False)
+    return p.parse_args()
+
+
+
+def _setup_jax_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stitchax_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main():
+    args = get_args()
+    _setup_jax_cache()
+
+    from stitchax.align.adapter import AlignConfig
+    from stitchax.run import Stitcher, StitchModels, load_pair_list
+    from stitchax.run.config import build_out_config
+    from stitchax.tps.pipeline import TPSConfig
+    from stitchax.utils.logger import Logger
+
+    cfg = build_out_config(args)
+    tps_c = cfg.TPS_PIPELINE_CONFIG
+
+    save_root = os.path.join(
+        args.result_dir,
+        f"{args.inf_cfg}_g{tps_c.grid_h}x{tps_c.grid_w}_{tps_c.tps_method}")
+    os.makedirs(save_root, exist_ok=True)
+    # dump the resolved config like the reference (out.py:337-338)
+    with open(os.path.join(save_root, "config.txt"), "w") as f:
+        f.write(cfg.dump())
+
+    logger = Logger(log_dir=save_root, name="out")
+
+    align_cfg = AlignConfig(
+        use_fb_consistency_mask=cfg.get("use_fb_consistency_mask", True))
+    tps_cfg = TPSConfig(
+        grid_h=tps_c.grid_h, grid_w=tps_c.grid_w, pad_num=tps_c.pad_num,
+        get_pt_method=tps_c.get_pt_methods[0],
+        flow_limit=tps_c.flow_limit, add_corner=tps_c.add_corner,
+        use_boundary_limit=tps_c.use_boundary_limit,
+        residual_flow_use_forward=tps_c.residual_flow_use_forward,
+        do_avg_pooling=tps_c.do_avg_pooling,
+        use_occ_filter=tps_c.use_occ_filter,
+        use_border_points_mask=tps_c.use_border_points_mask,
+        affine_scale=tps_c.affine_scale, kernel_scale=tps_c.kernel_scale,
+        output2_is_only_tps=tps_c.output2_is_only_tps)
+
+    models = StitchModels.build(cfg,
+                                use_composition=cfg.get("use_composition",
+                                                        True))
+    stitcher = Stitcher(models, cfg, align_cfg, tps_cfg,
+                        inpainter_name=tps_c.inpainter,
+                        mix_method=tps_c.mix_method)
+
+    pairs = load_pair_list(args.data_root_path, args.txt_file)
+    error_list = []  # per-pair failure manifest (SURVEY.md §5 rebuild item)
+    for data_dict in pairs:
+        rel = os.path.relpath(data_dict["DATA_PATH"], args.data_root_path)
+        result_path = os.path.join(save_root, rel)
+        if (args.skip_if_avg_fusion_exists
+                and os.path.exists(os.path.join(result_path,
+                                                "ave_fusion.jpg"))):
+            logger.info(f"skip {rel} (ave_fusion exists)")
+            continue
+        try:
+            logger.info(f"stitching {rel}")
+            stitcher.stitch_and_save(data_dict, result_path)
+        except Exception as e:  # idempotent sweep: record and continue
+            traceback.print_exc()
+            error_list.append({"pair": rel, "error": repr(e)})
+
+    if error_list:
+        import json
+        with open(os.path.join(save_root, "errors.json"), "w") as f:
+            json.dump(error_list, f, indent=2)
+        logger.info(f"{len(error_list)} pairs failed; see errors.json")
+        sys.exit(1)
+    logger.info(f"done: {len(pairs)} pairs -> {save_root}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,329 @@
+"""Per-pair stitching orchestration.
+
+Rebuild of the reference's inference_one_data flow (reference:
+out.py:158-312): align -> canvas render -> TPS breaking -> mix/inpaint ->
+optional learned composition, writing the same output files per pair
+(H_warp.jpg, flow_warp.jpg, warp1/2.jpg, mask1/2.jpg, ave_fusion.jpg,
+composition.jpg, learned_mask1/2.jpg).
+
+TPU-first structure: the reference swaps whole models between GPU and CPU
+around every pair and round-trips through PIL/OpenCV for the TPS stage
+(out.py:196-198,290-292); here every stage is a jitted function cached per
+(input-shape, canvas-bucket), all models stay resident, and only image IO
+touches the host.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..align.adapter import (AlignConfig, bucket_canvas, stitch_model_step,
+                             stitch_render)
+from ..compose.inpainters import get_inpainter
+from ..models import (CompositionNet, FlowFormer, FlowFormerConfig,
+                      UDIS2HomographyNet, compose_seam)
+from ..tps.pipeline import TPSConfig, tps_break_warp
+from ..utils.registry import MIX_METHODS
+
+
+def load_pair_list(data_root_path: str, txt_file: str) -> List[Dict[str, str]]:
+    """Pair manifest: one relative dir per line, each containing
+    input1.jpg/input2.jpg (reference: out.py:106-127, demo/demo.txt)."""
+    out = []
+    with open(os.path.join(data_root_path, txt_file)) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            out.append({"DATA_PATH": os.path.join(data_root_path, line),
+                        "IMG1": "input1.jpg", "IMG2": "input2.jpg"})
+    return out
+
+
+def load_image(path: str) -> np.ndarray:
+    """RGB float32 (H, W, 3) in [0, 255] (reference loadSingleData,
+    out.py:129-148, minus the BGR round-trip)."""
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, np.float32)
+
+
+def save_image(path: str, arr: np.ndarray):
+    from PIL import Image
+    a = np.clip(np.asarray(arr), 0, 255).astype(np.uint8)
+    if a.ndim == 3 and a.shape[-1] == 1:
+        a = a[..., 0]
+    Image.fromarray(a).save(path)
+
+
+@dataclass
+class StitchModels:
+    """Resident models + params. Random init keeps the pipeline runnable
+    without converted checkpoints (the reference downloads its ckpts from
+    Google Drive, README.md:8 — not available here)."""
+    flow_model: FlowFormer
+    flow_params: Any
+    homo_model: UDIS2HomographyNet
+    homo_params: Any
+    comp_model: Optional[CompositionNet] = None
+    comp_params: Any = None
+
+    @classmethod
+    def build(cls, cfg, rng_seed: int = 0, use_composition: bool = True,
+              init_size: int = 512):
+        k = jax.random.PRNGKey(rng_seed)
+        img = jnp.zeros((1, init_size, init_size, 3), jnp.float32)
+        ff_cfg = FlowFormerConfig()
+        flow_model = FlowFormer(ff_cfg)
+        homo_model = UDIS2HomographyNet()
+        # jit the inits: eager init dispatches thousands of tiny ops, which
+        # is pathological through the remote-TPU tunnel (~1 round-trip/op)
+        flow_params = jax.jit(flow_model.init)(k, img, img)
+        homo_params = jax.jit(homo_model.init)(k, img, img)
+        comp_model = comp_params = None
+        if use_composition:
+            comp_model = CompositionNet()
+            m = jnp.zeros((1, init_size, init_size, 1), jnp.float32)
+            comp_params = jax.jit(comp_model.init)(k, img, img, m, m)
+        models = cls(flow_model, flow_params, homo_model, homo_params,
+                     comp_model, comp_params)
+        ckpt = getattr(cfg, "restore_ckpt", None) or ""
+        if ckpt and os.path.exists(ckpt):
+            models.restore(ckpt)
+        elif ckpt:
+            print(f"[WARN] checkpoint {ckpt!r} not found; using random init")
+        return models
+
+    def restore(self, path: str):
+        """Orbax restore of {flow, homo, comp} param trees."""
+        import orbax.checkpoint as ocp
+        ckpt = ocp.StandardCheckpointer()
+        tpl = {"flow": self.flow_params, "homo": self.homo_params}
+        if self.comp_params is not None:
+            tpl["comp"] = self.comp_params
+        restored = ckpt.restore(os.path.abspath(path),
+                                args=ocp.args.StandardRestore(tpl))
+        self.flow_params = restored["flow"]
+        self.homo_params = restored["homo"]
+        if self.comp_params is not None and "comp" in restored:
+            self.comp_params = restored["comp"]
+
+    def save(self, path: str):
+        import orbax.checkpoint as ocp
+        ckpt = ocp.StandardCheckpointer()
+        tree = {"flow": self.flow_params, "homo": self.homo_params}
+        if self.comp_params is not None:
+            tree["comp"] = self.comp_params
+        ckpt.save(os.path.abspath(path), args=ocp.args.StandardSave(tree),
+                  force=True)
+        ckpt.wait_until_finished()
+
+
+class Stitcher:
+    """Stateful wrapper caching jitted stages per shape signature."""
+
+    def __init__(self, models: Optional[StitchModels], cfg,
+                 align_cfg: AlignConfig = AlignConfig(),
+                 tps_cfg: TPSConfig = TPSConfig(),
+                 inpainter_name: str = "cv_inpainter",
+                 mix_method: str = "all_img1_with_inpaint",
+                 homo_fn: Optional[Callable] = None,
+                 flow_fn: Optional[Callable] = None):
+        self.models = models
+        self.cfg = cfg
+        self.align_cfg = align_cfg
+        self.tps_cfg = tps_cfg
+        self.mix_method = mix_method
+        self.mix_fn = MIX_METHODS.get(mix_method)
+        self.inpainter_name = inpainter_name
+        self.inpainter = get_inpainter(inpainter_name)
+        self._step_cache: Dict[Tuple, Callable] = {}
+
+        # homo_fn/flow_fn overrides support stub backbones in tests and
+        # custom model families without subclassing
+        self._homo_fn = homo_fn or (lambda a, b: self.models.homo_model.apply(
+            self.models.homo_params, a, b))
+        self._flow_fn = flow_fn or (lambda a, b: self.models.flow_model.apply(
+            self.models.flow_params, a, b))
+
+    # ----------------------- cached jitted stages --------------------------
+
+    def _model_step(self, shape):
+        key = ("model", shape)
+        if key not in self._step_cache:
+            fn = lambda i1, i2: stitch_model_step(
+                self._homo_fn, self._flow_fn, i1, i2, self.align_cfg)
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _render_step(self, shape, out_h, out_w):
+        key = ("render", shape, out_h, out_w)
+        if key not in self._step_cache:
+            fn = functools.partial(stitch_render, out_h=out_h, out_w=out_w,
+                                   cfg=self.align_cfg)
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _tps_step(self, shape, out_h, out_w):
+        key = ("tps", shape, out_h, out_w, self.mix_method)
+        if key not in self._step_cache:
+            tps_cfg = self.tps_cfg
+            mix_fn = self.mix_fn
+            inpaint = self.inpainter.inpaint
+            name = ("transref" if self.inpainter_name == "transref_inpainter"
+                    else self.inpainter_name)
+
+            def fn(output1, mask1, h_warp, h_warp_mask, final_warp,
+                   residual_flow, width_min, height_min, occ):
+                tps_out = tps_break_warp(
+                    output1, mask1, h_warp, h_warp_mask, final_warp,
+                    residual_flow, width_min, height_min, tps_cfg,
+                    occlusion_mask=occ)
+                mixed = mix_fn(tps_out["output2"], tps_out["mask2"],
+                               output1, mask1, final_warp, occ,
+                               inpaint=inpaint, inpainter_name=name)
+                output2 = mixed.tps_final_warp * mixed.tps_final_warp_mask
+                mask2 = mixed.tps_final_warp_mask
+                denom = jnp.maximum(mask1 + mask2, 1e-6)
+                blend = jnp.clip(
+                    (output1 * mask1 + output2 * mask2) / denom, 0, 255)
+                return dict(tps_out, output2=output2, mask2=mask2,
+                            new_blend_image=blend,
+                            inpaint_img=mixed.inpaint_img,
+                            inpaint_area_mask=mixed.inpaint_area_mask)
+
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def _composition_step(self, shape):
+        key = ("comp", shape)
+        if key not in self._step_cache:
+            model, params = self.models.comp_model, self.models.comp_params
+
+            def fn(o1, o2, m1, m2):
+                n1 = jnp.clip(o1, 0, 255) / 127.5 - 1.0
+                n2 = jnp.clip(o2, 0, 255) / 127.5 - 1.0
+                out = model.apply(params, n1, n2, m1, m2)
+                return compose_seam(out, n1, n2, m1, m2)
+
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    # ------------------------------ pipeline -------------------------------
+
+    def stitch(self, img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:
+        """Full stitch of one RGB pair ([0,255] float32 HWC). Returns numpy
+        images cropped to the true canvas."""
+        a = self.align_cfg
+        i1 = jnp.asarray(img1)[None]
+        i2 = jnp.asarray(img2)[None]
+        B, H, W, _ = i1.shape
+
+        step = self._model_step((H, W))
+        out = step(i1, i2)
+
+        width_min = float(out["width_min"])
+        height_min = float(out["height_min"])
+        true_w = int(float(out["width_max"]) - width_min)
+        true_h = int(float(out["height_max"]) - height_min)
+        out_w = bucket_canvas(true_w, a.canvas_bucket, a.max_canvas)
+        out_h = bucket_canvas(true_h, a.canvas_bucket, a.max_canvas)
+
+        render = self._render_step((H, W), out_h, out_w)
+        r = render(i1, i2, out["H"], out["flow"],
+                   out.get("origin_occlusion_mask"),
+                   out["width_min"], out["height_min"])
+
+        tps = self._tps_step((H, W), out_h, out_w)
+        occ = r["occlusion_mask"]
+        occ0 = (occ[0] if occ is not None
+                else jnp.ones((out_h, out_w, 1), i1.dtype))
+        t = tps(r["output1"][0], r["mask1"][0], r["H_warp"][0],
+                r["H_warp_mask"][0], r["final_warp"][0], out["flow"][0],
+                out["width_min"], out["height_min"], occ0)
+
+        result = {
+            "H_warp": r["H_warp"][0],
+            "flow_warp": r["final_warp"][0],
+            "warp1": r["output1"][0],
+            "warp2": t["output2"],
+            "mask1": r["mask1"][0],
+            "mask2": t["mask2"],
+            "ave_fusion": t["new_blend_image"],
+            "width_min": width_min, "height_min": height_min,
+            "out_h": true_h, "out_w": true_w,
+        }
+
+        if self.models is not None and self.models.comp_model is not None:
+            o1, o2 = result["warp1"][None], result["warp2"][None]
+            m1, m2 = result["mask1"][None], result["mask2"][None]
+            ch, cw = o1.shape[1], o1.shape[2]
+            if min(ch, cw) < 512:  # reference resizes up (out.py:280-284)
+                s = 512.0 / min(ch, cw)
+                nh, nw = int(ch * s), int(cw * s)
+                o1 = ops.resize_image_b(o1, nh, nw)
+                o2 = ops.resize_image_b(o2, nh, nw)
+                m1 = ops.resize_image_b(m1, nh, nw)
+                m2 = ops.resize_image_b(m2, nh, nw)
+            comp = self._composition_step(o1.shape[1:3])
+            c = comp(o1, o2, m1, m2)
+            result["composition"] = (
+                (c["stitched_image"][0] + 1.0) * 127.5)
+            result["learned_mask1"] = c["learned_mask1"][0] * 255.0
+            result["learned_mask2"] = c["learned_mask2"][0] * 255.0
+
+        # crop padded canvas back to the true extent before returning
+        # (anything still at the bucketed canvas size gets cropped; the
+        # composition outputs may have been resized and are left as-is)
+        np_result = {}
+        for k, v in result.items():
+            if isinstance(v, jnp.ndarray) and v.ndim == 3:
+                arr = np.asarray(v)
+                if arr.shape[:2] == (out_h, out_w):
+                    arr = arr[:true_h, :true_w]
+                np_result[k] = arr
+            else:
+                np_result[k] = v
+        return np_result
+
+    def stitch_and_save(self, data_dict: Dict[str, str], result_path: str):
+        """One pair end to end, writing the reference's output files
+        (reference: out.py:266-308)."""
+        os.makedirs(result_path, exist_ok=True)
+        img1 = load_image(os.path.join(data_dict["DATA_PATH"],
+                                       data_dict["IMG1"]))
+        img2 = load_image(os.path.join(data_dict["DATA_PATH"],
+                                       data_dict["IMG2"]))
+        if getattr(self.cfg, "swap_image", False):
+            img1, img2 = img2, img1
+        out = self.stitch(img1, img2)
+
+        save_image(os.path.join(result_path, "input1.jpg"), img1)
+        save_image(os.path.join(result_path, "input2.jpg"), img2)
+        save_image(os.path.join(result_path, "H_warp.jpg"), out["H_warp"])
+        save_image(os.path.join(result_path, "flow_warp.jpg"),
+                   out["flow_warp"])
+        save_image(os.path.join(result_path, "warp1.jpg"), out["warp1"])
+        save_image(os.path.join(result_path, "warp2.jpg"), out["warp2"])
+        save_image(os.path.join(result_path, "mask1.jpg"),
+                   (out["mask1"] > 0.5) * 255.0)
+        save_image(os.path.join(result_path, "mask2.jpg"),
+                   (out["mask2"] > 0.5) * 255.0)
+        save_image(os.path.join(result_path, "ave_fusion.jpg"),
+                   out["ave_fusion"])
+        if "composition" in out:
+            save_image(os.path.join(result_path, "composition.jpg"),
+                       out["composition"])
+            save_image(os.path.join(result_path, "learned_mask1.jpg"),
+                       out["learned_mask1"])
+            save_image(os.path.join(result_path, "learned_mask2.jpg"),
+                       out["learned_mask2"])
+        return out

@@ -1,0 +1,90 @@
+"""End-to-end stitcher test with stub backbones: a known translation between
+the two inputs must produce an expanded canvas with img2 content placed at
+the right offset (validates align -> render -> TPS -> mix geometry without
+trained weights).
+
+Convention (reference: core/flowHomoAdpater.py:197-271 + warp_utils H2Mesh):
+H is the backward map out(p) = img2(H(p)) aligning warped img2 to img1;
+the canvas footprint is H^{-1}(image frame).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stitchax.align.adapter import AlignConfig
+from stitchax.run.stitcher import Stitcher
+from stitchax.tps.pipeline import TPSConfig
+
+
+class _Cfg(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+
+def make_pair(rng, H=128, W=160, shift=24):
+    """scene is W+shift wide; img1 = left crop, img2 = right crop.
+    True backward map: img2(p - shift) == scene(p) == img1(p)."""
+    base = rng.uniform(40, 215, (H // 8, (W + shift) // 8, 3))
+    from PIL import Image
+    scene = np.asarray(Image.fromarray(base.astype(np.uint8)).resize(
+        (W + shift, H), Image.BILINEAR), np.float32)
+    img1 = scene[:, :W].copy()
+    img2 = scene[:, shift:].copy()
+    return img1, img2, scene
+
+
+class TestStitcherE2E:
+    def test_translation_pair(self, rng):
+        H, W, shift = 128, 160, 24
+        img1, img2, scene = make_pair(rng, H, W, shift)
+        S = 512  # model resolution (AlignConfig default)
+
+        def homo_fn(a, b):
+            # backward map at model res: H(p) = p - shift*(S/W)
+            dx = -shift * (S / W)
+            off = jnp.array([[dx, 0, dx, 0, dx, 0, dx, 0]], jnp.float32)
+            return jnp.broadcast_to(off, (a.shape[0], 8))
+
+        def flow_fn(a, b):
+            zero = jnp.zeros(a.shape[:3] + (2,), a.dtype)
+            return [zero], zero[:, ::8, ::8]
+
+        cfg = _Cfg(swap_image=False)
+        st = Stitcher(None, cfg,
+                      AlignConfig(use_fb_consistency_mask=False,
+                                  canvas_bucket=64),
+                      TPSConfig(grid_h=8, grid_w=8),
+                      inpainter_name="cv_inpainter",
+                      homo_fn=homo_fn, flow_fn=flow_fn)
+        out = st.stitch(img1, img2)
+
+        # canvas footprint: H^{-1} maps [0,W] -> [shift, W+shift]
+        assert out["width_min"] == pytest.approx(0.0, abs=1.5)
+        assert out["out_w"] == pytest.approx(W + shift, abs=2)
+        assert out["out_h"] == pytest.approx(H, abs=2)
+
+        w1, w2 = out["warp1"], out["warp2"]
+        m1, m2 = out["mask1"], out["mask2"]
+
+        def err_at(canvas_img, sl_canvas, scene_x0):
+            h0, h1 = 8, H - 8
+            width = sl_canvas.stop - sl_canvas.start
+            return np.abs(canvas_img[h0:h1, sl_canvas]
+                          - scene[h0:h1, scene_x0:scene_x0 + width]).mean()
+
+        # warp1 = img1 at the canvas origin (bilinear softening from the
+        # model-res homography round-trip gives a few gray levels of blur,
+        # same as the reference's resampled outputs)
+        assert err_at(w1, np.s_[4:W - 4], 4) < 6.0
+        # placement specificity: content 8 px off must fit far worse
+        assert err_at(w1, np.s_[4:W - 4], 12) > 2.5 * err_at(w1, np.s_[4:W - 4], 4)
+
+        # warp2 covers canvas [shift, W+shift] with scene content
+        core = np.s_[shift + 8:W + shift - 8]
+        assert m2[8:-8, core].mean() > 0.9
+        assert err_at(w2, core, shift + 8) < 6.0
+        assert err_at(w2, core, shift) > 2.5 * err_at(w2, core, shift + 8)
+
+        # seamless blend over the whole true canvas core
+        assert err_at(out["ave_fusion"], np.s_[8:W + shift - 8], 8) < 6.0

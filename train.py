@@ -1,0 +1,142 @@
+"""Train CLI — reconstruction of the reference's unshipped training loop.
+
+The reference ships a full trainer config but no train.py (SURVEY.md §3.3);
+this rebuilds it from the surviving pieces: configs/last_config.py trainer
+block (AdamW + OneCycleLR, 31323 steps, batch 1, seq-loss gamma 0.8),
+fetch_dataloader's 'udis' stage, the train_eval forward, and the Logger.
+
+TPU-native: one jitted train step, data-parallel over the device mesh,
+orbax checkpoints with mid-run save/resume (which the reference lacked).
+"""
+
+import argparse
+import os
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_config_name", type=str, default="last_config")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="overrides udis_dataset.data_dir from the config")
+    p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--ckpt_dir", type=str, default="./checkpoints/train")
+    p.add_argument("--save_every", type=int, default=5000)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--seed", type=int, default=1234)
+    return p.parse_args()
+
+
+
+def _setup_jax_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stitchax_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main():
+    args = get_args()
+    _setup_jax_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from stitchax.align.adapter import AlignConfig
+    from stitchax.data import fetch_dataloader
+    from stitchax.models import (FlowFormer, FlowFormerConfig,
+                                 UDIS2HomographyNet)
+    from stitchax.parallel import make_mesh, make_parallel_train_step, shard_batch
+    from stitchax.run.config import build_eval_config
+    from stitchax.train import (LossConfig, OptimConfig, create_train_state,
+                                make_train_step, restore_checkpoint,
+                                save_checkpoint)
+    from stitchax.utils.logger import Logger
+
+    cfg = build_eval_config(args)
+    if args.data_dir:
+        cfg.udis_dataset.data_dir = args.data_dir
+    if args.batch_size:
+        cfg.batch_size = args.batch_size
+    trainer = cfg.trainer
+    num_steps = args.num_steps or trainer.num_steps
+
+    S = cfg.image_size[0]
+    ff = cfg.percostformer3
+    flow_cfg = FlowFormerConfig(
+        cost_heads_num=ff.cost_heads_num,
+        cost_latent_input_dim=ff.cost_latent_input_dim,
+        cost_latent_token_num=ff.cost_latent_token_num,
+        cost_latent_dim=ff.cost_latent_dim,
+        encoder_latent_dim=ff.encoder_latent_dim,
+        query_latent_dim=ff.query_latent_dim,
+        encoder_depth=ff.encoder_depth, decoder_depth=ff.decoder_depth,
+        patch_size=ff.patch_size, vert_c_dim=ff.vert_c_dim, gma=ff.gma)
+    flow_model = FlowFormer(flow_cfg)
+    homo_model = UDIS2HomographyNet()
+
+    k = jax.random.PRNGKey(args.seed)
+    img = jnp.zeros((1, S, S, 3), jnp.float32)
+    params = {"homo": jax.jit(homo_model.init)(k, img, img),
+              "flow": jax.jit(flow_model.init)(k, img, img)}
+
+    optim_cfg = OptimConfig(
+        canonical_lr=trainer.canonical_lr, num_steps=num_steps,
+        adamw_decay=trainer.adamw_decay, epsilon=trainer.epsilon,
+        clip=trainer.clip, anneal_strategy=trainer.anneal_strategy,
+        batch_scale=cfg.batch_size)
+    state, tx = create_train_state(params, optim_cfg)
+    if args.resume:
+        state = restore_checkpoint(os.path.abspath(args.resume), state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    align_cfg = AlignConfig(
+        use_fb_consistency_mask=cfg.get("use_fb_consistency_mask", True))
+    loss_cfg = LossConfig(
+        gamma=cfg.gamma,
+        rigid_motion_weight=cfg.get("rigid_motion_loss_weight", 0.3),
+        border_weight=cfg.get("border_loss_weight", 0.5),
+        max_flow=cfg.get("max_flow", 500))
+
+    homo_apply = lambda p, a, b: homo_model.apply(p, a, b)
+    flow_apply = lambda p, a, b: flow_model.apply(p, a, b)
+    step_fn = make_train_step(
+        homo_apply, flow_apply, tx, align_cfg, loss_cfg,
+        use_fb_consistency_mask=cfg.get("use_fb_consistency_mask", True))
+
+    mesh = make_mesh()
+    pstep = make_parallel_train_step(step_fn, mesh)
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+
+    logger = Logger(log_dir=args.ckpt_dir, name="train",
+                    sum_freq=args.log_every)
+    loader = fetch_dataloader(cfg, phase="training")
+    logger.info(f"training {num_steps} steps, batch {cfg.batch_size}, "
+                f"{len(loader.ds)} pairs, {len(mesh.devices)} devices")
+
+    import numpy as np
+    step = int(state.step)
+    rng = np.random.default_rng(args.seed)
+    while step < num_steps:
+        for batch in loader:
+            if step >= num_steps:
+                break
+            img1, img2 = batch["image1"], batch["image2"]
+            if cfg.get("random_img12", True) and rng.random() < 0.5:
+                img1, img2 = img2, img1   # reference random_img12 swap
+            img1, img2 = shard_batch(
+                (jnp.asarray(img1), jnp.asarray(img2)), mesh)
+            state, metrics = pstep(state, img1, img2)
+            step += 1
+            logger.push({k: v for k, v in metrics.items()}, step=step)
+            if step % args.save_every == 0 or step == num_steps:
+                path = os.path.abspath(os.path.join(
+                    args.ckpt_dir, f"step_{step:08d}"))
+                save_checkpoint(path, jax.device_get(state))
+                logger.info(f"saved checkpoint {path}")
+    logger.info("training complete")
+
+
+if __name__ == "__main__":
+    main()
