@@ -359,13 +359,15 @@ class ResidualBlock(nn.Module):
 
 class ConvProjection(nn.Module):
     """Upsampling tail with encoder skips (reference: TransRef.py:836-894).
-    ConvTranspose(k4, s2, p1) doubles resolution exactly, so the reference's
-    odd-size crop fixups are unnecessary with power-of-two inputs."""
+    torch ConvTranspose2d(k4, s2, p1) doubles resolution exactly; the flax
+    equivalent is padding k-1-p = (2, 2) (see stitchax/convert.py), so the
+    reference's odd-size crop fixups are unnecessary with power-of-two
+    inputs."""
 
     @nn.compact
     def __call__(self, feats, dec):
         up = lambda c, n: lambda t: nn.ConvTranspose(
-            c, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), name=n)(t)
+            c, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)), name=n)(t)
         x = up(512, "convd32x")(dec)
         x = x + feats[3]
         x = up(320, "convd16x")(x)
