@@ -132,13 +132,15 @@ def tps_backward_warp(points_src: jnp.ndarray, points_dst: jnp.ndarray,
     dst_n = points_dst / scale
 
     kw, aw = tps_fit(dst_n, src_n, valid, variant, reg)
+    if valid is not None:
+        # fold validity into the weights so the fused grid kernel (which
+        # has no mask input) stays exact
+        kw = kw * valid.astype(dtype)[:, None]
 
-    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=dtype),
-                          jnp.arange(out_w, dtype=dtype), indexing="ij")
-    grid = jnp.stack([xs, ys], -1).reshape(-1, 2) / scale
-    mapped = tps_eval_points(grid, dst_n, kw, aw, valid, variant,
-                             kernel_scale, affine_scale)
-    return (mapped * scale).reshape(out_h, out_w, 2)
+    from ..ops.pallas.tps_kernel import tps_eval_grid
+    mapped = tps_eval_grid(dst_n, kw, aw, out_h, out_w, variant,
+                           kernel_scale, affine_scale)
+    return mapped * scale
 
 
 def tps_warp_image(img: jnp.ndarray, points_src: jnp.ndarray,

@@ -1,0 +1,70 @@
+"""Pallas kernel parity tests (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stitchax.ops.pallas.tps_kernel import (tps_eval_grid_pallas,
+                                            tps_eval_grid_ref)
+from stitchax.ops.pallas.neighborhood_attention import neighborhood_attention
+
+
+class TestTPSKernel:
+    @pytest.mark.parametrize("variant", ["opencv", "kornia"])
+    def test_matches_reference(self, rng, variant):
+        N, H, W = 37, 40, 56
+        ctrl = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
+        kw = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32) * .05)
+        aw = jnp.asarray(np.array([[0.01, -0.02], [1.0, 0.05], [0.02, 0.97]],
+                                  np.float32))
+        ref = tps_eval_grid_ref(ctrl, kw, aw, H, W, variant)
+        got = tps_eval_grid_pallas(ctrl, kw, aw, H, W, variant,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_padding_neutral(self, rng):
+        """Padded centers (zero weight) must not change the field."""
+        N = 130  # forces 128-lane padding to 256
+        ctrl = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
+        kw = jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32) * .05)
+        aw = jnp.zeros((3, 2), jnp.float32)
+        ref = tps_eval_grid_ref(ctrl, kw, aw, 16, 24)
+        got = tps_eval_grid_pallas(ctrl, kw, aw, 16, 24, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def naive_na(q, k, v, rpb, ks):
+    """Direct NATTEN-semantics loop (ground truth)."""
+    B, H, W, heads, d = q.shape
+    out = np.zeros_like(q)
+    for i in range(H):
+        si = min(max(i - ks // 2, 0), H - ks)
+        for j in range(W):
+            sj = min(max(j - ks // 2, 0), W - ks)
+            kn = k[:, si:si + ks, sj:sj + ks]      # (B, ks, ks, heads, d)
+            vn = v[:, si:si + ks, sj:sj + ks]
+            logit = np.einsum("bnd,bxynd->bnxy", q[:, i, j], kn) * d ** -0.5
+            ri = np.arange(si, si + ks) - i + ks - 1
+            rj = np.arange(sj, sj + ks) - j + ks - 1
+            logit = logit + rpb[None, :, ri[:, None], rj[None, :]]
+            a = np.exp(logit - logit.max(axis=(-1, -2), keepdims=True))
+            a /= a.sum(axis=(-1, -2), keepdims=True)
+            out[:, i, j] = np.einsum("bnxy,bxynd->bnd", a, vn)
+    return out
+
+
+class TestNeighborhoodAttention:
+    def test_matches_naive(self, rng):
+        B, H, W, heads, d, ks = 1, 9, 11, 2, 8, 5
+        q = rng.standard_normal((B, H, W, heads, d)).astype(np.float32)
+        k = rng.standard_normal((B, H, W, heads, d)).astype(np.float32)
+        v = rng.standard_normal((B, H, W, heads, d)).astype(np.float32)
+        rpb = rng.standard_normal((heads, 2 * ks - 1,
+                                   2 * ks - 1)).astype(np.float32) * 0.1
+        want = naive_na(q, k, v, rpb, ks)
+        got = neighborhood_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), jnp.asarray(rpb), ks)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
