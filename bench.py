@@ -38,8 +38,10 @@ def main():
     flow_params = jax.jit(flow_model.init)(k, img, img)
     homo_params = jax.jit(homo_model.init)(k, img, img)
 
-    homo_fn = lambda a, b: homo_model.apply(homo_params, a, b)
-    flow_fn = lambda a, b: flow_model.apply(flow_params, a, b)
+    # bf16 backbones (reference runs mixed precision); geometry stays fp32
+    from stitchax.utils.precision import bf16_apply
+    homo_fn = lambda a, b: bf16_apply(homo_model.apply, homo_params)(a, b)
+    flow_fn = lambda a, b: bf16_apply(flow_model.apply, flow_params)(a, b)
     cfg = AlignConfig()
 
     @jax.jit

@@ -14,7 +14,13 @@ from .flowformer import FlowFormer, FlowFormerConfig
 from .udis2 import (UDIS2HomographyNet, CompositionNet, compose_seam,
                     ccl_correlation_flow)
 from .resnet import ResNet50Stages
+from .transref import TransRefBase, make_default_transref_apply
+from .quater_upsampler import QuaterUpsampler
+from .vgg import (VGG16Features, perceptual_loss, style_loss,
+                  transref_total_loss)
 
 __all__ = ["TwinsSVT", "FlowFormer", "FlowFormerConfig", "UDIS2HomographyNet",
            "CompositionNet", "compose_seam", "ccl_correlation_flow",
-           "ResNet50Stages"]
+           "ResNet50Stages", "TransRefBase", "make_default_transref_apply",
+           "QuaterUpsampler", "VGG16Features", "perceptual_loss",
+           "style_loss", "transref_total_loss"]

@@ -1,0 +1,95 @@
+"""VGG16 feature extractor + perceptual/style losses (for TransRef training).
+
+Rebuild of reference .../TransRef/models/loss.py:5-192: torchvision vgg16
+features sliced at every reluX_Y activation, L1 perceptual loss over
+relu{1..5}_1 and L1 style loss over Gram matrices of relu2_2/3_3/4_3/5_2.
+Weights convert from torchvision's `features` Sequential via
+stitchax.convert.conv_kernel (indices below mirror the torch slicing).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# (name, out_channels, pool_before) mirroring torchvision vgg16.features
+VGG16_LAYOUT = [
+    ("conv1_1", 64, False), ("conv1_2", 64, False),
+    ("conv2_1", 128, True), ("conv2_2", 128, False),
+    ("conv3_1", 256, True), ("conv3_2", 256, False), ("conv3_3", 256, False),
+    ("conv4_1", 512, True), ("conv4_2", 512, False), ("conv4_3", 512, False),
+    ("conv5_1", 512, True), ("conv5_2", 512, False), ("conv5_3", 512, False),
+]
+
+
+class VGG16Features(nn.Module):
+    """Returns the dict of reluX_Y activations (NHWC, inputs in [0, 1]
+    ImageNet-normalized by the caller if weights demand it)."""
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        feats = {}
+        for name, ch, pool in VGG16_LAYOUT:
+            if pool:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=name)(x)
+            x = nn.relu(x)
+            feats["relu" + name[4:]] = x
+        return feats
+
+
+def gram_matrix(f: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, C, C) normalized Gram (reference: loss.py:133-139)."""
+    B, H, W, C = f.shape
+    m = f.reshape(B, H * W, C)
+    return jnp.einsum("bnc,bnd->bcd", m, m) / (H * W * C)
+
+
+def perceptual_loss(feats_x: Dict, feats_y: Dict,
+                    weights: List[float] = (1.0,) * 5) -> jnp.ndarray:
+    """(reference: loss.py:155-180)."""
+    total = 0.0
+    for w, layer in zip(weights, ("relu1_1", "relu2_1", "relu3_1",
+                                  "relu4_1", "relu5_1")):
+        total += w * jnp.abs(feats_x[layer] - feats_y[layer]).mean()
+    return total
+
+
+def style_loss(feats_x: Dict, feats_y: Dict) -> jnp.ndarray:
+    """(reference: loss.py:121-152)."""
+    total = 0.0
+    for layer in ("relu2_2", "relu3_3", "relu4_3", "relu5_2"):
+        total += jnp.abs(gram_matrix(feats_x[layer])
+                         - gram_matrix(feats_y[layer])).mean()
+    return total
+
+
+def transref_total_loss(vgg_apply, pred, target, mask,
+                        l1_weight: float = 1.0, perc_weight: float = 0.1,
+                        style_weight: float = 250.0):
+    """TransRef training objective: L1 + VGG perceptual + style Gram
+    (reference: TransRef.py:1021-1026). pred/target in [-1, 1] NHWC."""
+    l1 = jnp.abs(pred - target).mean()
+    fx = vgg_apply((pred + 1) / 2)
+    fy = vgg_apply((target + 1) / 2)
+    perc = perceptual_loss(fx, fy)
+    style = style_loss(fx, fy)
+    total = l1_weight * l1 + perc_weight * perc + style_weight * style
+    return dict(total=total, l1=l1, perceptual=perc, style=style)
+
+
+def convert_vgg16_features(sd) -> Dict:
+    """torchvision vgg16 `features.*` state dict -> VGG16Features params.
+    Conv indices in the torch Sequential: 0,2,5,7,10,12,14,17,19,21,24,26,28
+    (reference slicing at loss.py:31-69)."""
+    from ..convert import conv_kernel, _np
+    idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    params = {}
+    for (name, _, _), i in zip(VGG16_LAYOUT, idx):
+        params[name] = {
+            "kernel": conv_kernel(sd[f"features.{i}.weight"]),
+            "bias": _np(sd[f"features.{i}.bias"]),
+        }
+    return {"params": params}

@@ -56,18 +56,20 @@ def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
     return 8.0 * interpolate_bilinear(flow, 8 * H, 8 * W, align_corners=True)
 
 
-def convex_upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """RAFT convex 8x upsampling.
+def convex_upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray,
+                         rate: int = 8) -> jnp.ndarray:
+    """RAFT convex upsampling by `rate` (8 for the decoder, 4 for the
+    optional quarter-res refiner).
 
-    flow: (H, W, 2) at 1/8 res; mask: (H, W, 64*9) logits. Output (8H, 8W, 2).
+    flow: (H, W, 2); mask: (H, W, rate*rate*9) logits. Output (rH, rW, 2).
     Reference: core/FlowFormer/PerCostFormer3/decoder.py:214-225.
     """
     H, W, _ = flow.shape
-    m = mask.reshape(H, W, 1, 9, 8, 8)
+    m = mask.reshape(H, W, 1, 9, rate, rate)
     m = jax.nn.softmax(m, axis=3)
 
-    # 3x3 neighborhood of 8*flow with zero padding (F.unfold semantics)
-    f = 8.0 * flow
+    # 3x3 neighborhood of rate*flow with zero padding (F.unfold semantics)
+    f = float(rate) * flow
     fpad = jnp.pad(f, ((1, 1), (1, 1), (0, 0)))
     # neighborhood stack: (H, W, 2, 9) in row-major dy,dx order
     taps = []
@@ -77,10 +79,12 @@ def convex_upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     nb = jnp.stack(taps, axis=-1)  # (H, W, 2, 9)
 
     up = jnp.einsum("hwcn,hwznuv->hwzcuv", nb, m)  # z==1
-    up = up[:, :, 0]  # (H, W, 2, 8, 8)
-    # interleave: out[8i+u, 8j+v] = up[i, j, :, u, v]
-    up = up.transpose(0, 3, 1, 4, 2)  # (H, 8, W, 8, 2)
-    return up.reshape(8 * H, 8 * W, 2)
+    up = up[:, :, 0]  # (H, W, 2, rate, rate)
+    # interleave: out[r*i+u, r*j+v] = up[i, j, :, u, v]
+    up = up.transpose(0, 3, 1, 4, 2)  # (H, rate, W, rate, 2)
+    return up.reshape(rate * H, rate * W, 2)
 
 
-convex_upsample_flow_b = jax.vmap(convex_upsample_flow, in_axes=(0, 0))
+def convex_upsample_flow_b(flow: jnp.ndarray, mask: jnp.ndarray,
+                           rate: int = 8) -> jnp.ndarray:
+    return jax.vmap(lambda f, m: convex_upsample_flow(f, m, rate))(flow, mask)

@@ -1,0 +1,91 @@
+"""Auxiliary model/op tests: TransRef, quater upsampler, VGG losses,
+InputPadder, neighborhood-attention flax usage."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+class TestTransRef:
+    def test_forward_shapes(self, rng):
+        from stitchax.models import TransRefBase
+        # 256 is the smallest size where the RefPA offset estimator's three
+        # stride-2 downsamples survive at stage 3 (1/16 res)
+        S = 256
+        model = TransRefBase()
+        d = jnp.asarray(rng.uniform(-1, 1, (1, S, S, 3)), jnp.float32)
+        m = jnp.zeros((1, S, S, 1), jnp.float32).at[:, 80:160, 80:160].set(1.0)
+        params = model.init(jax.random.PRNGKey(0), d, m, d)
+        out = model.apply(params, d, m, d)
+        assert out.shape == (1, S, S, 3)
+        o = np.asarray(out)
+        assert np.isfinite(o).all() and o.min() >= -1 and o.max() <= 1
+
+
+class TestQuaterUpsampler:
+    def test_shapes(self, rng):
+        from stitchax.models import QuaterUpsampler
+        B, H, W, C = 1, 64, 64, 32
+        flow_lr = jnp.asarray(rng.standard_normal((B, H // 8, W // 8, 2)),
+                              jnp.float32)
+        f1 = jnp.asarray(rng.standard_normal((B, H // 4, W // 4, C)),
+                         jnp.float32)
+        f2 = jnp.asarray(rng.standard_normal((B, H // 4, W // 4, C)),
+                         jnp.float32)
+        model = QuaterUpsampler()
+        params = model.init(jax.random.PRNGKey(0), flow_lr, f1, f2)
+        out = model.apply(params, flow_lr, f1, f2)
+        assert out.shape == (B, H, W, 2)
+
+
+class TestVGGLosses:
+    def test_losses_positive_and_zero_at_identity(self, rng):
+        from stitchax.models import (VGG16Features, perceptual_loss,
+                                     style_loss)
+        model = VGG16Features()
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+        y = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        fx = model.apply(params, x)
+        fy = model.apply(params, y)
+        assert float(perceptual_loss(fx, fx)) == 0.0
+        assert float(style_loss(fx, fx)) == 0.0
+        assert float(perceptual_loss(fx, fy)) > 0.0
+        assert float(style_loss(fx, fy)) > 0.0
+        assert set(fx) >= {"relu1_1", "relu2_2", "relu3_3", "relu4_3",
+                           "relu5_2"}
+
+    def test_vgg_converter_structure(self, rng):
+        from stitchax.models import VGG16Features
+        from stitchax.models.vgg import convert_vgg16_features, VGG16_LAYOUT
+        sd = {}
+        idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        cin = 3
+        for (name, ch, _), i in zip(VGG16_LAYOUT, idx):
+            sd[f"features.{i}.weight"] = rng.standard_normal(
+                (ch, cin, 3, 3)).astype(np.float32) * 0.05
+            sd[f"features.{i}.bias"] = np.zeros(ch, np.float32)
+            cin = ch
+        variables = jax.tree_util.tree_map(jnp.asarray,
+                                           convert_vgg16_features(sd))
+        model = VGG16Features()
+        ref = model.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32))
+        ref_keys = {jax.tree_util.keystr(p): v.shape for p, v in
+                    jax.tree_util.tree_leaves_with_path(ref)}
+        got_keys = {jax.tree_util.keystr(p): v.shape for p, v in
+                    jax.tree_util.tree_leaves_with_path(variables)}
+        assert ref_keys == got_keys
+
+
+class TestInputPadder:
+    def test_pad_unpad_roundtrip(self, rng):
+        from stitchax.ops.padding import InputPadder
+        x = jnp.asarray(rng.standard_normal((1, 30, 45, 3)), jnp.float32)
+        for mode in ("sintel", "downzero", "kitti"):
+            p = InputPadder(x.shape, mode=mode)
+            (xp,) = p.pad(x)
+            assert xp.shape[1] % 8 == 0 and xp.shape[2] % 8 == 0
+            np.testing.assert_array_equal(np.asarray(p.unpad(xp)),
+                                          np.asarray(x))
