@@ -152,8 +152,10 @@ class StableDiffusionInpainter(Inpainter):
     name = "inpainter"
 
     def __init__(self, denoise_fn: Optional[Callable] = None,
-                 num_steps: int = 50):
+                 num_steps: int = 50,
+                 resize_to_area_limit: int = 750 * 750):
         self.num_steps = num_steps
+        self.resize_to_area_limit = resize_to_area_limit
         self.denoise_fn = denoise_fn
         if denoise_fn is None:
             import warnings
@@ -165,8 +167,22 @@ class StableDiffusionInpainter(Inpainter):
     def inpaint(self, image, mask, control_image=None):
         if self.denoise_fn is None:
             return self._fallback.inpaint(image, mask)
-        return self.denoise_fn(jnp.asarray(image), jnp.asarray(mask),
-                               self.num_steps)
+        img = jnp.asarray(image)
+        msk = jnp.asarray(mask)
+        H, W, _ = img.shape
+        # area-limit resize before denoising, then back
+        # (reference: inpainter.py:85-100, inf_configs/*.py:54)
+        if H * W > self.resize_to_area_limit:
+            s = (self.resize_to_area_limit / (H * W)) ** 0.5
+            nh = max(int(H * s) // 8 * 8, 8)
+            nw = max(int(W * s) // 8 * 8, 8)
+            small = jax.image.resize(img, (nh, nw, 3), "bilinear")
+            msk_s = (jax.image.resize(msk, (nh, nw, 1), "nearest") > 0.5
+                     ).astype(img.dtype)
+            out = self.denoise_fn(small, msk_s, self.num_steps)
+            out = jax.image.resize(out, (H, W, 3), "bilinear")
+            return img * (1 - msk) + out * msk
+        return self.denoise_fn(img, msk, self.num_steps)
 
 
 def get_inpainter(name: str, **kwargs) -> Inpainter:

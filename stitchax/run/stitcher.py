@@ -109,8 +109,7 @@ class StitchModels:
         tpl = {"flow": self.flow_params, "homo": self.homo_params}
         if self.comp_params is not None:
             tpl["comp"] = self.comp_params
-        restored = ckpt.restore(os.path.abspath(path),
-                                args=ocp.args.StandardRestore(tpl))
+        restored = ckpt.restore(os.path.abspath(path), tpl)
         self.flow_params = restored["flow"]
         self.homo_params = restored["homo"]
         if self.comp_params is not None and "comp" in restored:
@@ -122,8 +121,7 @@ class StitchModels:
         tree = {"flow": self.flow_params, "homo": self.homo_params}
         if self.comp_params is not None:
             tree["comp"] = self.comp_params
-        ckpt.save(os.path.abspath(path), args=ocp.args.StandardSave(tree),
-                  force=True)
+        ckpt.save(os.path.abspath(path), tree, force=True)
         ckpt.wait_until_finished()
 
 
@@ -227,8 +225,10 @@ class Stitcher:
         i2 = jnp.asarray(img2)[None]
         B, H, W, _ = i1.shape
 
-        step = self._model_step((H, W))
-        out = step(i1, i2)
+        from ..utils.misc import stage
+        with stage("align_model_step"):
+            step = self._model_step((H, W))
+            out = step(i1, i2)
 
         width_min = float(out["width_min"])
         height_min = float(out["height_min"])
@@ -238,7 +238,8 @@ class Stitcher:
         out_h = bucket_canvas(true_h, a.canvas_bucket, a.max_canvas)
 
         render = self._render_step((H, W), out_h, out_w)
-        r = render(i1, i2, out["H"], out["flow"],
+        with stage("canvas_render"):
+            r = render(i1, i2, out["H"], out["flow"],
                    out.get("origin_occlusion_mask"),
                    out["width_min"], out["height_min"])
 
@@ -246,7 +247,8 @@ class Stitcher:
         occ = r["occlusion_mask"]
         occ0 = (occ[0] if occ is not None
                 else jnp.ones((out_h, out_w, 1), i1.dtype))
-        t = tps(r["output1"][0], r["mask1"][0], r["H_warp"][0],
+        with stage("tps_break_mix"):
+            t = tps(r["output1"][0], r["mask1"][0], r["H_warp"][0],
                 r["H_warp_mask"][0], r["final_warp"][0], out["flow"][0],
                 out["width_min"], out["height_min"], occ0)
 

@@ -108,17 +108,16 @@ def save_checkpoint(path: str, state: TrainState):
     """Orbax checkpoint (replaces torch.save state dicts, SURVEY.md §5)."""
     import orbax.checkpoint as ocp
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, args=ocp.args.StandardSave(
-        dict(step=state.step, params=state.params,
-             opt_state=state.opt_state)), force=True)
+    ckpt.save(path, dict(step=state.step, params=state.params,
+                         opt_state=state.opt_state), force=True)
     ckpt.wait_until_finished()
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
     ckpt = ocp.StandardCheckpointer()
-    restored = ckpt.restore(path, args=ocp.args.StandardRestore(
-        dict(step=template.step, params=template.params,
-             opt_state=template.opt_state)))
+    restored = ckpt.restore(path, dict(step=template.step,
+                                       params=template.params,
+                                       opt_state=template.opt_state))
     return TrainState(step=restored["step"], params=restored["params"],
                       opt_state=restored["opt_state"])

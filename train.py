@@ -25,14 +25,22 @@ def get_args():
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="override cfg.image_size (square)")
     return p.parse_args()
 
 
 
 def _setup_jax_cache():
+    import os
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/stitchax_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # platform override (the image pre-imports jax with the TPU backend, so
+    # JAX_PLATFORMS in the env is too late; this config works post-import)
+    plat = os.environ.get("STITCHAX_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
 
 def main():
@@ -58,6 +66,8 @@ def main():
         cfg.udis_dataset.data_dir = args.data_dir
     if args.batch_size:
         cfg.batch_size = args.batch_size
+    if args.image_size:
+        cfg.image_size = [args.image_size, args.image_size]
     trainer = cfg.trainer
     num_steps = args.num_steps or trainer.num_steps
 
