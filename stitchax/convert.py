@@ -14,9 +14,9 @@ Op-level conversions (torch-validated in tests/test_convert.py):
   * ConvTranspose2d (I, O, kH, kW) -> flipped HWIO kernel
 
 Model-level maps implemented: UDIS2 homography backbone (incl. the
-torchvision resnet50 stages) and the composition U-Net. FlowFormer/TransRef
-state dicts use the same op rules; their full key maps land with the weight
-releases (no checkpoints ship in this environment to validate against).
+torchvision resnet50 stages), the composition U-Net, and the full FlowFormer
+(twins encoders + cost perceiver + memory decoder; structure-tested against
+the reference layout). TransRef's map lands with its weight release.
 """
 
 from __future__ import annotations
@@ -179,8 +179,8 @@ def convert_composition(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 def convert_checkpoint(path: str, kind: str) -> Dict[str, Any]:
     """Load a torch checkpoint file and convert. kind: 'homography' |
-    'composition'. Accepts raw state dicts or {'model': sd} wrappers
-    (reference: out.py:72-75,100)."""
+    'composition' | 'flowformer'. Accepts raw state dicts or {'model': sd}
+    wrappers (reference: out.py:72-75,100)."""
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
@@ -188,4 +188,175 @@ def convert_checkpoint(path: str, kind: str) -> Dict[str, Any]:
         return convert_udis2_homography(sd)
     if kind == "composition":
         return convert_composition(sd)
+    if kind == "flowformer":
+        return convert_flowformer(sd)
     raise ValueError(f"unknown checkpoint kind {kind!r}")
+
+
+# ------------------------------ FlowFormer -----------------------------------
+
+
+def _lin(sd, prefix):
+    p = {"kernel": linear_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _convp(sd, prefix):
+    p = {"kernel": conv_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def convert_twins_svt(sd: Mapping[str, Any], prefix: str,
+                      depths=(2, 2)) -> Dict[str, Any]:
+    """timm twins_svt_large stages 1-2 (stages 3-4 deleted by the reference,
+    encoders.py:12-19) -> stitchax TwinsSVT params. Layout: patch_embeds.N,
+    blocks.N.M (LSA fused qkv on even M, GSA q/kv/sr/norm on odd M),
+    pos_block.N.proj.0 depthwise conv."""
+    out: Dict[str, Any] = {}
+    for s in range(len(depths)):
+        out[f"patch_embed{s}"] = {
+            "proj": _convp(sd, f"{prefix}.patch_embeds.{s}.proj"),
+            "norm": norm_params(f"{prefix}.patch_embeds.{s}.norm", sd),
+        }
+        out[f"pos_block{s}"] = {
+            "proj": _convp(sd, f"{prefix}.pos_block.{s}.proj.0")}
+        for j in range(depths[s]):
+            b = f"{prefix}.blocks.{s}.{j}"
+            attn = {"proj": _lin(sd, f"{b}.attn.proj")}
+            if j % 2 == 0:  # LSA: fused qkv
+                attn["qkv"] = _lin(sd, f"{b}.attn.qkv")
+            else:           # GSA
+                attn["q"] = _lin(sd, f"{b}.attn.q")
+                attn["kv"] = _lin(sd, f"{b}.attn.kv")
+                attn["sr"] = _convp(sd, f"{b}.attn.sr")
+                attn["norm"] = norm_params(f"{b}.attn.norm", sd)
+            out[f"block{s}_{j}"] = {
+                "norm1": norm_params(f"{b}.norm1", sd),
+                "norm2": norm_params(f"{b}.norm2", sd),
+                "attn": attn,
+                "mlp": {"fc1": _lin(sd, f"{b}.mlp.fc1"),
+                        "fc2": _lin(sd, f"{b}.mlp.fc2")},
+            }
+    return out
+
+
+def _attention_layer(sd, p, with_kv=True):
+    """SelfAttentionLayer / CrossAttentionLayer / input_layer fields
+    (reference: encoder.py:127-172, decoder.py:30-109; ffn Sequential has
+    Linear at indices 0 and 3)."""
+    out = {
+        "norm1": norm_params(f"{p}.norm1", sd),
+        "norm2": norm_params(f"{p}.norm2", sd),
+        "q": _lin(sd, f"{p}.q"),
+        "proj": _lin(sd, f"{p}.proj"),
+        "ffn": {"fc1": _lin(sd, f"{p}.ffn.0"), "fc2": _lin(sd, f"{p}.ffn.3")},
+    }
+    if with_kv:
+        out["k"] = _lin(sd, f"{p}.k")
+        out["v"] = _lin(sd, f"{p}.v")
+    return out
+
+
+def _rpe_context_block(sd, p, is_global: bool):
+    """Twins RPE+context Block (reference: twins.py:229-392,752-790)."""
+    a = f"{p}.attn"
+    attn = {
+        "context_proj": _lin(sd, f"{a}.context_proj"),
+        "q": _lin(sd, f"{a}.q"),
+        "k": _lin(sd, f"{a}.k"),
+        "v": _lin(sd, f"{a}.v"),
+        "proj": _lin(sd, f"{a}.proj"),
+    }
+    if is_global:
+        attn["sr_key"] = _convp(sd, f"{a}.sr_key")
+        attn["sr_value"] = _convp(sd, f"{a}.sr_value")
+        attn["norm"] = norm_params(f"{a}.norm", sd)
+    return {
+        "norm1": norm_params(f"{p}.norm1", sd),
+        "norm2": norm_params(f"{p}.norm2", sd),
+        "attn": attn,
+        "mlp": {"fc1": _lin(sd, f"{p}.mlp.fc1"),
+                "fc2": _lin(sd, f"{p}.mlp.fc2")},
+    }
+
+
+def convert_flowformer(sd: Mapping[str, Any], encoder_depth: int = 3
+                       ) -> Dict[str, Any]:
+    """FlowFormer (PerCostFormer3) state dict -> stitchax FlowFormer params.
+
+    Accepts either a bare FlowFormer state dict (things_288960.pth-style) or
+    the fused FlowHomoAdpater ckpt's `flow_backbone.` subtree (final_ckpt,
+    reference: out.py:72-87). Key map derived from
+    core/FlowFormer/PerCostFormer3/{transformer,encoder,decoder,gru,gma}.py.
+    """
+    sd = strip_module_prefix(sd)
+    if any(k.startswith("flow_backbone.") for k in sd):
+        sd = {k[len("flow_backbone."):]: v for k, v in sd.items()
+              if k.startswith("flow_backbone.")}
+
+    params: Dict[str, Any] = {}
+    params["context_encoder"] = convert_twins_svt(sd, "context_encoder")
+
+    me: Dict[str, Any] = {}
+    me["feat_encoder"] = convert_twins_svt(sd, "memory_encoder.feat_encoder")
+
+    cpe = "memory_encoder.cost_perceiver_encoder"
+    cp: Dict[str, Any] = {
+        "latent_tokens": _np(sd[f"{cpe}.latent_tokens"]),
+        "patch_embed": {
+            "proj0": _convp(sd, f"{cpe}.patch_embed.proj.0"),
+            "proj1": _convp(sd, f"{cpe}.patch_embed.proj.2"),
+            "proj2": _convp(sd, f"{cpe}.patch_embed.proj.4"),
+            "ffn1": _convp(sd, f"{cpe}.patch_embed.ffn_with_coord.0"),
+            "ffn2": _convp(sd, f"{cpe}.patch_embed.ffn_with_coord.2"),
+            "norm": norm_params(f"{cpe}.patch_embed.norm", sd),
+        },
+        "input_layer": _attention_layer(sd, f"{cpe}.input_layer"),
+    }
+    for i in range(encoder_depth):
+        cp[f"encoder_layer{i}"] = _attention_layer(
+            sd, f"{cpe}.encoder_layers.{i}")
+        v = f"{cpe}.vertical_encoder_layers.{i}"
+        cp[f"vertical_layer{i}"] = {
+            "local_block": _rpe_context_block(sd, f"{v}.local_block", False),
+            "global_block": _rpe_context_block(sd, f"{v}.global_block", True),
+        }
+    me["cost_perceiver"] = cp
+    params["memory_encoder"] = me
+
+    md = "memory_decoder"
+    ca = f"{md}.decoder_layer.cross_attend"
+    dec: Dict[str, Any] = {
+        "proj": _convp(sd, f"{md}.proj"),
+        "att": {"to_qk": _convp(sd, f"{md}.att.to_qk")},
+        # cross-attention k/v are hoisted out of the iteration scan
+        "memory_k": _lin(sd, f"{ca}.k"),
+        "memory_v": _lin(sd, f"{ca}.v"),
+        "iteration": {
+            "flow_token_enc1": _convp(sd, f"{md}.flow_token_encoder.0"),
+            "flow_token_enc2": _convp(sd, f"{md}.flow_token_encoder.2"),
+            "decoder_layer": _attention_layer(sd, ca, with_kv=False),
+            "update_block": {
+                "encoder": {n: _convp(sd, f"{md}.update_block.encoder.{n}")
+                            for n in ("convc1", "convc2", "convf1", "convf2",
+                                      "conv")},
+                "gru": {n: _convp(sd, f"{md}.update_block.gru.{n}")
+                        for n in ("convz1", "convr1", "convq1",
+                                  "convz2", "convr2", "convq2")},
+                "flow_head": {n: _convp(sd, f"{md}.update_block.flow_head.{n}")
+                              for n in ("conv1", "conv2")},
+                "mask1": _convp(sd, f"{md}.update_block.mask.0"),
+                "mask2": _convp(sd, f"{md}.update_block.mask.2"),
+                "aggregator": {
+                    "to_v": _convp(sd, f"{md}.update_block.aggregator.to_v"),
+                    "gamma": _np(sd[f"{md}.update_block.aggregator.gamma"]),
+                },
+            },
+        },
+    }
+    params["memory_decoder"] = dec
+    return {"params": params}
