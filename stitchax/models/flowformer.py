@@ -52,6 +52,7 @@ class FlowFormerConfig:
     flow_or_pe: str = "and"
     use_rpe: bool = False
     lookup_radius: int = 4
+    vertical_encoder_attn: str = "twins"   # 'twins' | 'NA' (reference NA.py)
 
 
 class CostMapPatchEmbed(nn.Module):
@@ -170,7 +171,13 @@ class CostPerceiverEncoder(nn.Module):
             # (B*H1W1, K, D) -> (B*K, H1, W1, D)
             x = x.reshape(B, H1 * W1, K, D).transpose(0, 2, 1, 3)
             x = x.reshape(B * K, H1, W1, D)
-            x = VerticalSelfAttention(c, name=f"vertical_layer{idx}")(x, context)
+            if c.vertical_encoder_attn == "NA":
+                from .na_layer import NeighborhoodSelfAttentionLayer
+                x = NeighborhoodSelfAttentionLayer(
+                    c.cost_latent_dim, c.vert_c_dim, c.encoder_latent_dim,
+                    name=f"vertical_layer{idx}")(x, context)
+            else:
+                x = VerticalSelfAttention(c, name=f"vertical_layer{idx}")(x, context)
             x = x.reshape(B, K, H1 * W1, D).transpose(0, 2, 1, 3)
             x = x.reshape(B * H1 * W1, K, D)
         if c.cost_encoder_res:

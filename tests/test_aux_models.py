@@ -89,3 +89,19 @@ class TestInputPadder:
             assert xp.shape[1] % 8 == 0 and xp.shape[2] % 8 == 0
             np.testing.assert_array_equal(np.asarray(p.unpad(xp)),
                                           np.asarray(x))
+
+
+class TestNAVariant:
+    def test_flowformer_na_vertical(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from stitchax.models import FlowFormer, FlowFormerConfig
+        cfg = FlowFormerConfig(decoder_depth=1, encoder_depth=1,
+                               vertical_encoder_attn="NA")
+        model = FlowFormer(cfg)
+        img = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), img, img)
+        preds, _ = model.apply(params, img, img)
+        assert preds[-1].shape == (1, 64, 64, 2)
+        import numpy as np
+        assert np.isfinite(np.asarray(preds[-1])).all()
