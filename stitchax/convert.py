@@ -15,8 +15,9 @@ Op-level conversions (torch-validated in tests/test_convert.py):
 
 Model-level maps implemented: UDIS2 homography backbone (incl. the
 torchvision resnet50 stages), the composition U-Net, and the full FlowFormer
-(twins encoders + cost perceiver + memory decoder; structure-tested against
-the reference layout). TransRef's map lands with its weight release.
+(twins encoders + cost perceiver + memory decoder) and TransRef
+(Tenc/RefPA/Tdec/convtail incl. non-local BN folding) — all structure-tested
+against the reference layouts.
 """
 
 from __future__ import annotations
@@ -54,6 +55,13 @@ def depthwise_conv_kernel(w) -> np.ndarray:
 def linear_kernel(w) -> np.ndarray:
     """torch Linear weight (O, I) -> flax (I, O)."""
     return _np(w).T
+
+
+def conv_transpose_kernel_op(w) -> np.ndarray:
+    """torch ConvTranspose2d with output_padding: same kernel transform as
+    conv_transpose_kernel; the output_padding moves into the flax padding
+    ((k-1-p, k-1-p+op), ...) — validated exact in tests."""
+    return conv_transpose_kernel(w)
 
 
 def conv_transpose_kernel(w) -> np.ndarray:
@@ -190,6 +198,9 @@ def convert_checkpoint(path: str, kind: str) -> Dict[str, Any]:
         return convert_composition(sd)
     if kind == "flowformer":
         return convert_flowformer(sd)
+    if kind == "transref":
+        return convert_transref(sd.get("net", sd) if isinstance(sd, dict)
+                                else sd)
     raise ValueError(f"unknown checkpoint kind {kind!r}")
 
 
@@ -360,3 +371,142 @@ def convert_flowformer(sd: Mapping[str, Any], encoder_depth: int = 3
     }
     params["memory_decoder"] = dec
     return {"params": params}
+
+
+# ------------------------------- TransRef ------------------------------------
+
+
+def _dwconv_mlp(sd, p):
+    """TransRef Mlp: fc1 -> DWConv(.dwconv.dwconv) -> fc2 (TransRef.py:358)."""
+    return {"fc1": _lin(sd, f"{p}.fc1"),
+            "dwconv": _convp(sd, f"{p}.dwconv.dwconv"),
+            "fc2": _lin(sd, f"{p}.fc2")}
+
+
+def _transref_block(sd, p, sr: int, attention: str = "self"):
+    """Block / Block_Ref / Block_dec (TransRef.py:597-716)."""
+    a = f"{p}.attn"
+    attn: Dict[str, Any] = {"q": _lin(sd, f"{a}.q"),
+                            "kv": _lin(sd, f"{a}.kv"),
+                            "proj": _lin(sd, f"{a}.proj")}
+    if sr > 1:
+        attn["sr"] = _convp(sd, f"{a}.sr")
+        attn["sr_norm"] = norm_params(f"{a}.norm", sd)
+    if attention == "task":
+        attn["task_query"] = _np(sd[f"{a}.task_query"])
+    out = {"norm1": norm_params(f"{p}.norm1", sd),
+           "norm2": norm_params(f"{p}.norm2", sd),
+           "attn": attn,
+           "mlp": _dwconv_mlp(sd, f"{p}.mlp")}
+    if attention == "ref":
+        out["norm1_ref"] = norm_params(f"{p}.norm1_Ref", sd)
+    return out
+
+
+def _patch_embed(sd, p):
+    return {"proj": _convp(sd, f"{p}.proj"),
+            "norm": norm_params(f"{p}.norm", sd)}
+
+
+def _fold_bn_into_conv(sd, conv_p, bn_p, eps=1e-5):
+    """Inference-time fold of Conv+BatchNorm (the non-local W head,
+    reference: non_local_embedded_gaussian.py bn_layer=True) into one conv."""
+    w = conv_kernel(sd[f"{conv_p}.weight"])
+    b = _np(sd.get(f"{conv_p}.bias", np.zeros(w.shape[-1], np.float32)))
+    gamma = _np(sd[f"{bn_p}.weight"])
+    beta = _np(sd[f"{bn_p}.bias"])
+    mean = _np(sd[f"{bn_p}.running_mean"])
+    var = _np(sd[f"{bn_p}.running_var"])
+    s = gamma / np.sqrt(var + eps)
+    return {"kernel": w * s[None, None, None, :],
+            "bias": (b - mean) * s + beta}
+
+
+def _non_local(sd, p):
+    # sub_sample=True wraps g and phi in Sequential(conv, maxpool) -> '.0'
+    g_key = f"{p}.g.0" if f"{p}.g.0.weight" in sd else f"{p}.g"
+    phi_key = f"{p}.phi.0" if f"{p}.phi.0.weight" in sd else f"{p}.phi"
+    return {"g": _convp(sd, g_key),
+            "phi": _convp(sd, phi_key),
+            "theta": _convp(sd, f"{p}.theta"),
+            "w": _fold_bn_into_conv(sd, f"{p}.W.0", f"{p}.W.1")}
+
+
+def _refpa(sd, p):
+    doe = f"{p}.PA.offset_estimator"
+    est = {}
+    for i in (1, 2, 3):
+        est[f"down{i}"] = _convp(sd, f"{doe}.downblock{i}.0")
+        est[f"attn{i}"] = _non_local(sd, f"{doe}.attentionblock{i}")
+        up = {"kernel": conv_transpose_kernel_op(
+            sd[f"{doe}.upblock{i}.0.weight"]),
+            "bias": _np(sd[f"{doe}.upblock{i}.0.bias"])}
+        est[f"up{i}"] = up
+    est["scale"] = _convp(sd, f"{doe}.channelscaling_block")
+    # mmcv DeformConv2d weight (O, I, 3, 3) -> (9*I, O) matmul matrix with
+    # tap-major flattening (stitchax/ops/deform.py layout)
+    dw = _np(sd[f"{p}.PA.deformconv.weight"])
+    O, I, K, _ = dw.shape
+    deform_kernel = dw.transpose(2, 3, 1, 0).reshape(K * K * I, O)
+    return {
+        "pa": {"offset_estimator": est,
+               "offset_conv": {"kernel": conv_kernel(
+                   sd[f"{p}.PA.offset_conv.weight"])},
+               "deform_kernel": deform_kernel},
+        "ph": {"fc1": _convp(sd, f"{p}.PH.fc.0"),
+               "fc2": _convp(sd, f"{p}.PH.fc.2"),
+               "reduc": _convp(sd, f"{p}.PH.reduc.0")},
+    }
+
+
+def convert_transref(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """TransRef_Base state dict (400_Trans.pth['net'], reference:
+    transref_inpainter.py:25-26) -> stitchax TransRefBase params."""
+    sd = strip_module_prefix(sd)
+    TEN_SRS = (4, 2, 2, 1)
+    tenc: Dict[str, Any] = {}
+    for i in (1, 2, 3, 4):
+        tenc[f"patch_embed{i}"] = _patch_embed(sd, f"Tenc.patch_embed{i}")
+        if i < 4:
+            tenc[f"patch_embed{i}_ref"] = _patch_embed(
+                sd, f"Tenc.patch_embed{i}_ref")
+            tenc[f"mini_patch_embed{i}"] = _patch_embed(
+                sd, f"Tenc.mini_patch_embed{i}")
+            tenc[f"mini_patch_embed{i}_ref"] = _patch_embed(
+                sd, f"Tenc.mini_patch_embed{i}_ref")
+            tenc[f"refpa{i}"] = _refpa(sd, f"Tenc.RefPA{i}")
+            tenc[f"pnorm{i}"] = norm_params(f"Tenc.pnorm{i}", sd)
+            # patch_block sr ratios (TransRef.py:89-123): stage i-1's sr
+            pb_sr = TEN_SRS[i - 1]
+            tenc[f"patch_block{i}_0"] = _transref_block(
+                sd, f"Tenc.patch_block{i}.0", pb_sr, "ref")
+        tenc[f"norm{i}"] = norm_params(f"Tenc.norm{i}", sd)
+        for j in range(2):
+            tenc[f"block{i}_{j}"] = _transref_block(
+                sd, f"Tenc.block{i}.{j}", TEN_SRS[i - 1])
+
+    tdec: Dict[str, Any] = {
+        "patch_embed1": _patch_embed(sd, "Tdec.patch_embed1"),
+        "norm1": norm_params("Tdec.norm1", sd),
+    }
+    for j in range(3):
+        tdec[f"block1_{j}"] = _transref_block(sd, f"Tdec.block1.{j}", 1,
+                                              "task")
+
+    tail: Dict[str, Any] = {}
+    for name in ("convd32x", "convd16x", "convd8x", "convd4x", "convd2x",
+                 "convd1x"):
+        tail[name] = {"kernel": conv_transpose_kernel(
+            sd[f"convtail.{name}.conv2d.weight"]),
+            "bias": _np(sd[f"convtail.{name}.conv2d.bias"])}
+    for my, ref in (("dense4", "dense_4"), ("dense3", "dense_3"),
+                    ("dense2", "dense_2"), ("dense1", "dense_1")):
+        tail[my] = {
+            "conv1": _convp(sd, f"convtail.{ref}.0.conv1.conv2d"),
+            "conv2": _convp(sd, f"convtail.{ref}.0.conv2.conv2d"),
+        }
+
+    return {"params": {
+        "tenc": tenc, "tdec": tdec, "convtail": tail,
+        "clean": _convp(sd, "clean.conv2d"),
+    }}

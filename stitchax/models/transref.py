@@ -199,11 +199,14 @@ class DynamicOffsetEstimator(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, 2C)
+        # paddings match torch Conv2d(k3,s2,p1) / ConvTranspose2d(k3,s2,p1,
+        # output_padding=1) exactly (see stitchax/convert.py equivalences)
         down = lambda c, n: lambda t: nn.leaky_relu(
-            nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME", name=n)(t), 0.01)
+            nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    name=n)(t), 0.01)
         up = lambda c, n: lambda t: nn.leaky_relu(
-            nn.ConvTranspose(c, (3, 3), strides=(2, 2), padding="SAME",
-                             name=n)(t), 0.01)
+            nn.ConvTranspose(c, (3, 3), strides=(2, 2),
+                             padding=((1, 2), (1, 2)), name=n)(t), 0.01)
         h2 = down(64, "down1")(x)
         h4 = down(64, "down2")(h2)
         h8 = down(64, "down3")(h4)
@@ -410,7 +413,8 @@ def make_default_transref_apply(size: int = 512, seed: int = 0):
     model = TransRefBase()
     d = jnp.zeros((1, size, size, 3), jnp.float32)
     m = jnp.zeros((1, size, size, 1), jnp.float32)
-    params = model.init(jax.random.PRNGKey(seed), d, m, d)
+    # jitted init: eager init is pathological through the remote-TPU tunnel
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), d, m, d)
 
     def apply_fn(detail, mask, reference):
         return model.apply(params, detail, mask, reference)

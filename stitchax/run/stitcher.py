@@ -96,11 +96,33 @@ class StitchModels:
         models = cls(flow_model, flow_params, homo_model, homo_params,
                      comp_model, comp_params)
         ckpt = getattr(cfg, "restore_ckpt", None) or ""
-        if ckpt and os.path.exists(ckpt):
-            models.restore(ckpt)
+        if ckpt and os.path.isdir(ckpt):
+            models.restore(ckpt)                      # orbax directory
+        elif ckpt and os.path.isfile(ckpt):
+            models.restore_torch(ckpt)                # reference final_ckpt
         elif ckpt:
             print(f"[WARN] checkpoint {ckpt!r} not found; using random init")
         return models
+
+    def restore_torch(self, path: str):
+        """Convert + load the reference's fused FlowHomoAdpater torch ckpt
+        (final_ckpt: module.homo_backbone.* + module.flow_backbone.*)."""
+        import torch
+        from .. import convert
+        import jax.numpy as jnp
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        sd = convert.strip_module_prefix(sd)
+        homo_sd = {k[len("homo_backbone."):]: v for k, v in sd.items()
+                   if k.startswith("homo_backbone.")}
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        if homo_sd:
+            self.homo_params = as_jnp(
+                convert.convert_udis2_homography(homo_sd))
+        if any(k.startswith("flow_backbone.") for k in sd):
+            self.flow_params = as_jnp(convert.convert_flowformer(sd))
+        print(f"[StitchModels] converted torch checkpoint {path}")
 
     def restore(self, path: str):
         """Orbax restore of {flow, homo, comp} param trees."""
