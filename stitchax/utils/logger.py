@@ -64,3 +64,29 @@ class Logger:
 
     def close(self):
         self._jsonl.close()
+
+
+def save_flow_panel(path: str, image1, image2, flow, warped=None):
+    """Training dashboard panel: inputs, flow visualization, warp result
+    (rebuild of the reference's matplotlib figure dashboards,
+    core/utils/logger.py:110-267). Arrays are HWC numpy/[0,255]."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from ..data.flow_viz import flow_to_image
+
+    panels = [("image1", np.clip(image1, 0, 255).astype("uint8")),
+              ("image2", np.clip(image2, 0, 255).astype("uint8")),
+              ("flow", flow_to_image(np.asarray(flow)))]
+    if warped is not None:
+        panels.append(("warped", np.clip(warped, 0, 255).astype("uint8")))
+    fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 4))
+    for ax, (title, img) in zip(np.atleast_1d(axes), panels):
+        ax.imshow(img)
+        ax.set_title(title)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
