@@ -146,3 +146,37 @@ class HD1K(FlowDataset):
                 self.flow_list.append(flows[i])
                 self.image_list.append((images[i], images[i + 1]))
             seq_ix += 1
+
+
+class CADataset(FlowDataset):
+    """Cross-attention pretraining pairs listed in {phase}.txt with images
+    under img/ — zero GT flow like UDIS (reference: core/datasets.py:243-325).
+    """
+
+    def __init__(self, data_dir, aug_params=None, phase: str = "train"):
+        super().__init__(aug_params)
+        assert phase in ("train", "val", "test")
+        self.is_test = phase == "test"
+        list_path = os.path.join(data_dir, f"{phase}.txt")
+        with open(list_path) as f:
+            for line in f:
+                names = line.strip().split(" ")
+                if len(names) < 2:
+                    continue
+                self.image_list.append(
+                    (os.path.join(data_dir, "img", names[0]),
+                     os.path.join(data_dir, "img", names[1])))
+                self.extra_info.append(tuple(names[:2]))
+        # zero-flow supervision: reuse FlowDataset loading with fake flow
+        self.flow_list = [None] * len(self.image_list)
+
+    def __getitem__(self, idx):
+        p1, p2 = self.image_list[idx]
+        img1 = np.asarray(read_gen(p1), np.float32)[..., :3]
+        img2 = np.asarray(read_gen(p2), np.float32)[..., :3]
+        flow = np.zeros(img1.shape[:2] + (2,), np.float32)
+        if self.augmentor is not None and not self.is_test:
+            img1, img2, flow = self.augmentor(img1, img2, flow)
+        return {"image1": img1, "image2": img2,
+                "flow": np.zeros(img1.shape[:2] + (2,), np.float32),
+                "valid": np.ones(img1.shape[:2], np.float32)}
