@@ -69,9 +69,12 @@ class FlyingChairs(FlowDataset):
             split_list = np.loadtxt(split_file, dtype=np.int32)
         for i in range(len(flows)):
             xid = split_list[i] if split_list is not None else (
-                2 if split == "training" else 1)
-            if (split == "training" and xid == 1) or (
-                    split == "validation" and xid == 2):
+                1 if split == "training" else 2)
+            # chairs_split.txt marks training samples with 1, validation
+            # with 2 (reference: core/datasets.py:146-149)
+            keep = (split == "training" and xid == 1) or (
+                split == "validation" and xid == 2)
+            if not keep:
                 continue
             self.flow_list.append(flows[i])
             self.image_list.append((images[2 * i], images[2 * i + 1]))

@@ -98,8 +98,8 @@ class TransformerBlock(nn.Module):
             o = o.transpose(0, 2, 1, 3).reshape(B, -1, C)
             return nn.Dense(C, name=f"{name}_out")(o)
 
-        t = tokens + attn(nn.LayerNorm(name="norm1")(tokens),
-                          nn.LayerNorm(name="norm1")(tokens), "attn1")
+        normed = nn.LayerNorm(name="norm1")(tokens)
+        t = tokens + attn(normed, normed, "attn1")
         ctx = jnp.broadcast_to(context, (B,) + context.shape[-2:])
         t = t + attn(nn.LayerNorm(name="norm2")(t), ctx, "attn2")
         y = nn.LayerNorm(name="norm3")(t)

@@ -90,15 +90,19 @@ def _sum_pool(x: jnp.ndarray, k) -> jnp.ndarray:
 
 def _even_pool(x: jnp.ndarray, k: int, op, init) -> jnp.ndarray:
     """Even-kernel pool matching torch conv2d(padding=k//2) + crop-to-input:
-    window at output i covers rows [i - k//2, i + k//2 - 1]."""
+    window at output i covers rows [i - k//2, i + k//2 - 1]. Borders are
+    zero-PADDED explicitly (like the reference's zero-padded conv), then the
+    reduction runs with its true identity `init` — passing 0.0 as the
+    reduce_window init for a min pool would zero the whole result."""
     ndim = x.ndim
-    window = [1] * ndim
-    window[-3], window[-2] = k, k
     pads = [(0, 0)] * ndim
     pads[-3] = (k // 2, k - 1 - k // 2)
     pads[-2] = (k // 2, k - 1 - k // 2)
-    return jax.lax.reduce_window(x, jnp.array(init, x.dtype), op,
-                                 window, [1] * ndim, pads)
+    padded = jnp.pad(x, pads)
+    window = [1] * ndim
+    window[-3], window[-2] = k, k
+    return jax.lax.reduce_window(padded, jnp.array(init, x.dtype), op,
+                                 window, [1] * ndim, [(0, 0)] * ndim)
 
 
 def dilate_thin_area(mask: jnp.ndarray, dilation_kernel_size: int = 8,
@@ -109,17 +113,17 @@ def dilate_thin_area(mask: jnp.ndarray, dilation_kernel_size: int = 8,
     channel 0, result broadcast back to C channels.
 
     The reference's conv-erosion requires the full k*k count, so zero-padded
-    borders always erode; emulated by zero-identity padding on the min pool.
+    borders always erode; the zero pad inside _even_pool emulates that.
     """
     m = mask[..., 0:1]
     k = dilation_kernel_size
-    eroded = _even_pool(m, k, jax.lax.min, 0.0)  # zero pad => border erodes
-    opened = (_even_pool((eroded == 1.0).astype(m.dtype), k, jax.lax.max, 0.0)
-              >= 1.0).astype(m.dtype)
+    eroded = _even_pool(m, k, jax.lax.min, jnp.inf)  # zero pad => border erodes
+    opened = (_even_pool((eroded == 1.0).astype(m.dtype), k, jax.lax.max,
+                         -jnp.inf) >= 1.0).astype(m.dtype)
     thick = jnp.clip(m * opened, 0, 1)
     thin = m * (1.0 - thick)
     t = thickening_kernel_size
-    thin_d = (_even_pool(thin, t, jax.lax.max, 0.0) >= 1.0).astype(m.dtype)
+    thin_d = (_even_pool(thin, t, jax.lax.max, -jnp.inf) >= 1.0).astype(m.dtype)
     out = jnp.clip(thick + thin_d, 0, 1)
     return jnp.broadcast_to(out, mask.shape)
 

@@ -31,25 +31,32 @@ def neighborhood_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            rpb: jnp.ndarray, kernel_size: int = 7
                            ) -> jnp.ndarray:
     """q/k/v: (B, H, W, heads, d); rpb: (heads, 2k-1, 2k-1).
-    Returns (B, H, W, heads, d)."""
+    Returns (B, H, W, heads, d).
+
+    On maps smaller than the kernel, the effective window shrinks to the
+    (odd) map extent per axis — attention covers the whole axis, with the
+    relative-position bias still indexed by true offsets. (NATTEN itself
+    requires dim >= kernel_size; small cost maps occur here whenever the
+    flow model runs below 8*kernel_size input resolution.)"""
     B, H, W, heads, d = q.shape
     ks = kernel_size
+    ks_h = min(ks, H if H % 2 == 1 else H - 1)
+    ks_w = min(ks, W if W % 2 == 1 else W - 1)
     scale = d ** -0.5
 
-    si = _window_starts(H, ks)           # (H,)
-    sj = _window_starts(W, ks)           # (W,)
+    si = _window_starts(H, ks_h)         # (H,)
+    sj = _window_starts(W, ks_w)         # (W,)
     rows = jnp.arange(H)
     cols = jnp.arange(W)
 
     logits = []
     values = []
-    biases = []
-    for a in range(ks):
+    for a in range(ks_h):
         ri = si + a                       # neighbor row per query row
         rel_i = ri - rows + ks - 1        # rpb row index, (H,)
         k_rows = jnp.take(k, ri, axis=1)
         v_rows = jnp.take(v, ri, axis=1)
-        for b in range(ks):
+        for b in range(ks_w):
             cj = sj + b
             rel_j = cj - cols + ks - 1
             k_n = jnp.take(k_rows, cj, axis=2)   # (B, H, W, heads, d)

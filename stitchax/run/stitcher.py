@@ -193,7 +193,8 @@ class Stitcher:
         return self._step_cache[key]
 
     def _tps_step(self, shape, out_h, out_w):
-        key = ("tps", shape, out_h, out_w, self.mix_method)
+        key = ("tps", shape, out_h, out_w, self.mix_method,
+               self.inpainter_name)
         if key not in self._step_cache:
             tps_cfg = self.tps_cfg
             mix_fn = self.mix_fn

@@ -50,11 +50,11 @@ def border_segments(H: int, W: int, step: int, pad: int
     segments: List[Tuple[int, int, int, int]] = []
 
     def run(coords: Sequence[int], fixed: int, horizontal: bool):
-        prev = 0
+        prev = None
         for i in coords:
             pt = (i, fixed) if horizontal else (fixed, i)
             anchors.append(pt)
-            if prev != 0:
+            if prev is not None:
                 a = (prev, fixed) if horizontal else (fixed, prev)
                 segments.append((a[0], a[1], pt[0], pt[1]))
             prev = i

@@ -115,3 +115,41 @@ class TestMixMethods:
         out = np.asarray(push_pull_inpaint(jnp.asarray(img),
                                            jnp.asarray(mask)))
         assert abs(out[14, 14].mean() - 128.0) < 2.0
+
+
+def _ref_dilate_thin_area_torch(mask, dil_k=8, thick_k=8):
+    """Verbatim reference semantics (core/inference/utils.py:124-160)."""
+    import torch
+    import torch.nn.functional as F
+    _, _, H, W = mask.shape
+    m = mask[:, 0:1]
+    ker = torch.ones((1, 1, dil_k, dil_k), dtype=m.dtype)
+    er = F.conv2d(m, ker, padding=(dil_k // 2, dil_k // 2))
+    er = (er == ker.numel()).float()
+    di = F.conv2d(er, ker, padding=(dil_k // 2, dil_k // 2))
+    di = (di >= 1).float()[:, :, :H, :W]
+    thick = (m * di).clamp(0, 1)
+    thin = m * (1 - thick)
+    ker2 = torch.ones((1, 1, thick_k, thick_k), dtype=m.dtype)
+    d = F.conv2d(thin, ker2, padding=(thick_k // 2, thick_k // 2))
+    d = (d >= 1).float()[:, :, :H, :W]
+    return (thick + d).clamp(0, 1)
+
+
+class TestDilateThinArea:
+    def test_parity_vs_reference_torch(self, rng):
+        """Pixel-exact vs the reference's conv-based implementation on blob,
+        line, and mixed masks (regression: a wrong min-pool identity made
+        the whole mask 'thin' and dilated everything)."""
+        import torch
+        import jax.numpy as jnp
+        from stitchax.ops.morphology import dilate_thin_area
+        cases = []
+        blob = np.zeros((64, 64, 1), np.float32); blob[20:40, 20:40] = 1.0
+        line = np.zeros((64, 64, 1), np.float32); line[30, 10:50] = 1.0
+        mixed = blob.copy(); mixed[45, 2:60] = 1.0
+        for m in (blob, line, mixed):
+            ref = _ref_dilate_thin_area_torch(
+                torch.from_numpy(m.transpose(2, 0, 1)).unsqueeze(0))
+            got = np.asarray(dilate_thin_area(jnp.asarray(m)))
+            np.testing.assert_array_equal(got, ref[0].numpy().transpose(1, 2, 0))

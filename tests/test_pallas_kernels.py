@@ -68,3 +68,30 @@ class TestNeighborhoodAttention:
         got = neighborhood_attention(jnp.asarray(q), jnp.asarray(k),
                                      jnp.asarray(v), jnp.asarray(rpb), ks)
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+class TestNASmallMaps:
+    def test_small_map_full_window(self, rng):
+        """Maps smaller than the kernel attend over the whole (odd) extent —
+        matches the naive oracle run with the shrunken kernel."""
+        B, H, W, heads, d, ks = 1, 5, 7, 2, 8, 11
+        q = rng.standard_normal((B, H, W, heads, d)).astype(np.float32)
+        k = rng.standard_normal((B, H, W, heads, d)).astype(np.float32)
+        v = rng.standard_normal((B, H, W, heads, d)).astype(np.float32)
+        rpb = rng.standard_normal((heads, 2 * ks - 1,
+                                   2 * ks - 1)).astype(np.float32) * 0.1
+        got = neighborhood_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), jnp.asarray(rpb), ks)
+        # oracle: full-extent attention (window = whole map) with rpb indexed
+        # by true relative offsets
+        logits = np.einsum("bijnd,bklnd->bnijkl", q, k) * d ** -0.5
+        ri = np.arange(H)[None, :] - np.arange(H)[:, None] + ks - 1  # [i, k]
+        rj = np.arange(W)[None, :] - np.arange(W)[:, None] + ks - 1
+        bias = rpb[:, ri[:, None, :, None], rj[None, :, None, :]]
+        logits = logits + bias[None]
+        flat = logits.reshape(B, heads, H, W, H * W)
+        a = np.exp(flat - flat.max(-1, keepdims=True))
+        a /= a.sum(-1, keepdims=True)
+        want = np.einsum("bnijm,bmnd->bijnd", a,
+                         v.reshape(B, H * W, heads, d))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
