@@ -48,11 +48,23 @@ def validate_with_model(cfg, loader, stitch_models, align_cfg):
         valid = out["final_warp_output"][..., 3:6].mean(-1, keepdims=True)
         return warped, valid
 
+    # data-parallel across every visible chip: batch-shard inputs, XLA
+    # partitions the replicated-model forward (SURVEY.md §2.10 rebuild)
+    n_dev = jax.device_count()
+    mesh = sharding = None
+    if n_dev > 1:
+        from stitchax.parallel import batch_sharding, make_mesh
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
+
     psnr_list, ssim_list, names = [], [], []
     seen = 0
     for batch in loader:
         img1 = jnp.asarray(batch["image1"])
         img2 = jnp.asarray(batch["image2"])
+        if sharding is not None and img1.shape[0] % n_dev == 0:
+            img1 = jax.device_put(img1, sharding)
+            img2 = jax.device_put(img2, sharding)
         warped, valid = eval_step(img1, img2)
 
         i1 = np.clip(np.asarray(img1), 0, 255).astype(np.uint8)

@@ -105,3 +105,39 @@ class TestNAVariant:
         assert preds[-1].shape == (1, 64, 64, 2)
         import numpy as np
         assert np.isfinite(np.asarray(preds[-1])).all()
+
+
+class TestDiffusionUNet:
+    def test_tiny_unet_and_controlnet(self, rng):
+        """Regression: duplicate-sibling norm names made the SD UNet
+        uninstantiable. Tiny config forward + full DDIM scan loop."""
+        import jax
+        import jax.numpy as jnp
+        from stitchax.models.diffusion import (ControlNet, UNet2DCondition,
+                                               UNetConfig,
+                                               make_inpaint_denoiser)
+        cfg = UNetConfig(block_channels=(32, 64), layers_per_block=1,
+                         attention_resolutions=(1,), context_dim=16,
+                         num_heads=2)
+        unet = UNet2DCondition(cfg)
+        ctrl = ControlNet(cfg)
+        lat = jnp.zeros((1, 16, 16, 9), jnp.float32)
+        t = jnp.zeros((1,), jnp.float32)
+        ctx = jnp.zeros((1, 7, 16), jnp.float32)
+        cimg = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        k = jax.random.PRNGKey(0)
+        cp = jax.jit(ctrl.init)(k, lat, t, ctx, cimg)
+        res, mid = ctrl.apply(cp, lat, t, ctx, cimg)
+        up = jax.jit(unet.init)(k, lat, t, ctx, res, mid)
+        eps = unet.apply(up, lat, t, ctx, res, mid)
+        assert eps.shape == (1, 16, 16, 4)
+        assert np.isfinite(np.asarray(eps)).all()
+
+        denoise = make_inpaint_denoiser(
+            lambda l, tt, cc, r, m: unet.apply(up, l, tt, cc, r, m),
+            lambda l, tt, cc, ci: ctrl.apply(cp, l, tt, cc, ci),
+            ctx, num_steps=2)
+        out = jax.jit(denoise)(lat[..., 4:5], lat[..., 5:9],
+                               cimg, lat[..., 0:4])
+        assert out.shape == (1, 16, 16, 4)
+        assert np.isfinite(np.asarray(out)).all()
