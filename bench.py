@@ -39,14 +39,20 @@ def main():
     homo_params = jax.jit(homo_model.init)(k, img, img)
 
     # bf16 backbones (reference runs mixed precision); geometry stays fp32
+    from stitchax.models import FlowFormer as FF
     from stitchax.utils.precision import bf16_apply
     homo_fn = lambda a, b: bf16_apply(homo_model.apply, homo_params)(a, b)
     flow_fn = lambda a, b: bf16_apply(flow_model.apply, flow_params)(a, b)
+    flow_pair_fn = lambda a, b: bf16_apply(
+        lambda p, x, y: flow_model.apply(p, x, y,
+                                         method=FF.bidirectional),
+        flow_params)(a, b)
     cfg = AlignConfig()
 
     @jax.jit
     def step(img1, img2):
-        out = stitch_model_step(homo_fn, flow_fn, img1, img2, cfg)
+        out = stitch_model_step(homo_fn, flow_fn, img1, img2, cfg,
+                                flow_pair_fn=flow_pair_fn)
         return out["flow"], out["H"], out["origin_occlusion_mask"]
 
     import numpy as np

@@ -114,7 +114,9 @@ def train_eval_forward(homo_fn: Callable, flow_fn: Callable,
 
 def stitch_model_step(homo_fn: Callable, flow_fn: Callable,
                       input1: jnp.ndarray, input2: jnp.ndarray,
-                      cfg: AlignConfig) -> Dict[str, Any]:
+                      cfg: AlignConfig,
+                      flow_pair_fn: Optional[Callable] = None
+                      ) -> Dict[str, Any]:
     """Device step 1 of the stitch: run homo+flow at `model_size`, compute the
     full-res homography and canvas bounds (reference: flowHomoAdpater.py:197-271).
 
@@ -138,7 +140,14 @@ def stitch_model_step(homo_fn: Callable, flow_fn: Callable,
     warp2_mask_512 = (output_H[..., 3:6].mean(-1, keepdims=True) > 0.5).astype(
         input1.dtype)
 
-    flow_preds_512, _ = flow_fn(in1_512, warp2_512)
+    back_preds_512 = None
+    if flow_pair_fn is not None and cfg.use_fb_consistency_mask:
+        # one bidirectional call shares features + transposes the cost
+        # volume (FlowFormer.bidirectional): ~40% cheaper than two calls
+        (flow_preds_512, _), (back_preds_512, _) = flow_pair_fn(
+            in1_512, warp2_512)
+    else:
+        flow_preds_512, _ = flow_fn(in1_512, warp2_512)
     flow_512 = flow_preds_512[-1]
 
     # native-res flow + homography
@@ -170,7 +179,8 @@ def stitch_model_step(homo_fn: Callable, flow_fn: Callable,
                width_max=width_max, height_max=height_max)
 
     if cfg.use_fb_consistency_mask:
-        back_preds_512, _ = flow_fn(warp2_512, in1_512)
+        if back_preds_512 is None:
+            back_preds_512, _ = flow_fn(warp2_512, in1_512)
         back_flow = ops.resize_flow_b(back_preds_512[-1], img_h, img_w)
         occ = ops.compute_occlusion_b(flow, back_flow,
                                       cfg.occlusion_estimation,

@@ -190,15 +190,20 @@ class CostPerceiverEncoder(nn.Module):
 class MemoryEncoder(nn.Module):
     """Twins features on both images -> all-pairs cost volume -> perceiver
     (reference: encoder.py:328-410). The correlation einsum is the MXU hot
-    spot; computed in the param dtype with fp32 accumulation."""
+    spot; computed in the param dtype with fp32 accumulation.
+
+    setup-style so `bidirectional` can share the feature extraction and
+    compute the backward cost volume as the transpose of the forward one
+    (corr_bwd[j, i] == corr_fwd[i, j]) — two of the four twins passes and
+    one of the two all-pairs einsums per fwd+bwd pair drop out."""
     cfg: FlowFormerConfig
 
-    @nn.compact
-    def __call__(self, img1, img2, context):
+    def setup(self):
+        self.feat_encoder = TwinsSVT()
+        self.cost_perceiver = CostPerceiverEncoder(self.cfg)
+
+    def _cost_volume(self, feat_s, feat_t):
         c = self.cfg
-        feat_encoder = TwinsSVT(name="feat_encoder")
-        feat_s, _ = feat_encoder(img1)  # (B, H1, W1, 256)
-        feat_t, _ = feat_encoder(img2)
         B, H1, W1, Cdim = feat_s.shape
         heads = c.cost_heads_num
         d = Cdim // heads
@@ -207,13 +212,25 @@ class MemoryEncoder(nn.Module):
         corr = jnp.einsum("bhid,bhjd->bhij", fs, ft,
                           preferred_element_type=jnp.float32)
         cost_volume = corr.reshape(B, heads, H1, W1, H1, W1)
-        cost_volume = cost_volume.transpose(0, 2, 3, 4, 5, 1)  # (B,H1,W1,H2,W2,heads)
-        cost_volume = cost_volume.astype(img1.dtype)
+        cost_volume = cost_volume.transpose(0, 2, 3, 4, 5, 1)
+        return cost_volume.astype(feat_s.dtype)  # (B, H1, W1, H2, W2, heads)
 
-        x, cost_patches, h3w3 = CostPerceiverEncoder(c, name="cost_perceiver")(
-            cost_volume, context)
-        cost_maps = cost_volume  # keep for decoder local lookups
-        return x, cost_patches, cost_maps, h3w3
+    def __call__(self, img1, img2, context):
+        feat_s, _ = self.feat_encoder(img1)  # (B, H1, W1, 256)
+        feat_t, _ = self.feat_encoder(img2)
+        cost_volume = self._cost_volume(feat_s, feat_t)
+        x, cost_patches, h3w3 = self.cost_perceiver(cost_volume, context)
+        return x, cost_patches, cost_volume, h3w3
+
+    def bidirectional(self, img1, img2, ctx1, ctx2):
+        feat_s, _ = self.feat_encoder(img1)
+        feat_t, _ = self.feat_encoder(img2)
+        cost_fwd = self._cost_volume(feat_s, feat_t)
+        # backward cost volume is the exact transpose of the forward one
+        cost_bwd = cost_fwd.transpose(0, 3, 4, 1, 2, 5)
+        x_f, _, h3w3 = self.cost_perceiver(cost_fwd, ctx1)
+        x_b, _, _ = self.cost_perceiver(cost_bwd, ctx2)
+        return (x_f, cost_fwd), (x_b, cost_bwd), h3w3
 
 
 # --------------------------- decoder ---------------------------------------
@@ -486,17 +503,38 @@ class MemoryDecoder(nn.Module):
 
 class FlowFormer(nn.Module):
     """Top-level model (reference: transformer.py:16-65). Inputs NHWC uint8
-    range [0,255]; returns (list of upsampled flows, low-res flow)."""
+    range [0,255]; returns (list of upsampled flows, low-res flow).
+
+    `bidirectional` computes forward AND backward flow sharing the twins
+    feature extraction and transposing the cost volume — the fb-consistency
+    occlusion pass costs ~60% of two independent calls."""
     cfg: FlowFormerConfig = FlowFormerConfig()
 
-    @nn.compact
+    def setup(self):
+        self.context_encoder = TwinsSVT()
+        self.memory_encoder = MemoryEncoder(self.cfg)
+        self.memory_decoder = MemoryDecoder(self.cfg)
+
     def __call__(self, image1, image2):
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
-        context, _ = TwinsSVT(name="context_encoder")(image1)
-        cost_memory, cost_patches, cost_maps, h3w3 = MemoryEncoder(
-            self.cfg, name="memory_encoder")(image1, image2, context)
-        flow_predictions, flow_lr = MemoryDecoder(
-            self.cfg, name="memory_decoder")(cost_memory, context, cost_maps, h3w3)
+        context, _ = self.context_encoder(image1)
+        cost_memory, cost_patches, cost_maps, h3w3 = self.memory_encoder(
+            image1, image2, context)
+        flow_predictions, flow_lr = self.memory_decoder(
+            cost_memory, context, cost_maps, h3w3)
         return flow_predictions, flow_lr
+
+    def bidirectional(self, image1, image2):
+        """Returns ((fwd_preds, fwd_lr), (bwd_preds, bwd_lr))."""
+        image1 = 2 * (image1 / 255.0) - 1.0
+        image2 = 2 * (image2 / 255.0) - 1.0
+
+        ctx1, _ = self.context_encoder(image1)
+        ctx2, _ = self.context_encoder(image2)
+        (mem_f, maps_f), (mem_b, maps_b), h3w3 = \
+            self.memory_encoder.bidirectional(image1, image2, ctx1, ctx2)
+        preds_f, lr_f = self.memory_decoder(mem_f, ctx1, maps_f, h3w3)
+        preds_b, lr_b = self.memory_decoder(mem_b, ctx2, maps_b, h3w3)
+        return (preds_f, lr_f), (preds_b, lr_b)

@@ -173,6 +173,11 @@ class Stitcher:
             self.models.homo_params, a, b))
         self._flow_fn = flow_fn or (lambda a, b: self.models.flow_model.apply(
             self.models.flow_params, a, b))
+        self._flow_pair_fn = None
+        if flow_fn is None and models is not None:
+            from ..models import FlowFormer as _FF
+            self._flow_pair_fn = lambda a, b: self.models.flow_model.apply(
+                self.models.flow_params, a, b, method=_FF.bidirectional)
 
     # ----------------------- cached jitted stages --------------------------
 
@@ -180,7 +185,8 @@ class Stitcher:
         key = ("model", shape)
         if key not in self._step_cache:
             fn = lambda i1, i2: stitch_model_step(
-                self._homo_fn, self._flow_fn, i1, i2, self.align_cfg)
+                self._homo_fn, self._flow_fn, i1, i2, self.align_cfg,
+                flow_pair_fn=self._flow_pair_fn)
             self._step_cache[key] = jax.jit(fn)
         return self._step_cache[key]
 

@@ -65,11 +65,18 @@ def align_train_forward(homo_apply: Callable, flow_apply: Callable,
 def make_train_step(homo_apply: Callable, flow_apply: Callable,
                     tx: optax.GradientTransformation,
                     align_cfg: AlignConfig, loss_cfg: LossConfig,
-                    use_fb_consistency_mask: bool = True):
+                    use_fb_consistency_mask: bool = True,
+                    remat: bool = False):
     """Returns train_step(state, img1, img2) -> (state, metrics).
 
     Pure function of (state, batch): jit/pjit it with whatever shardings the
-    caller chooses (stitchax.parallel shards the batch axis)."""
+    caller chooses (stitchax.parallel shards the batch axis). `remat=True`
+    rematerializes the backbone forwards in the backward pass — trades
+    ~30% more FLOPs for activation memory, enabling larger per-chip batches
+    at 512^2 (HBM is the constraint, SURVEY.md design notes)."""
+    if remat:
+        homo_apply = jax.checkpoint(homo_apply)
+        flow_apply = jax.checkpoint(flow_apply)
 
     def loss_fn(params, img1, img2):
         fwd = align_train_forward(homo_apply, flow_apply, params,

@@ -60,3 +60,24 @@ class TestUDIS2:
         assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
         blend = compose_seam(out, w1, w2, m1, m2)
         assert blend["stitched_image"].shape == (1, S, S, 3)
+
+
+class TestBidirectional:
+    def test_matches_independent_calls(self, rng):
+        """bidirectional() must produce exactly the same flows as two
+        independent forward calls (shared features + transposed cost
+        volume are mathematically identical)."""
+        cfg = FlowFormerConfig(decoder_depth=2, encoder_depth=1)
+        model = FlowFormer(cfg)
+        i1 = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+        i2 = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), i1, i2)
+
+        fwd_ref, _ = model.apply(params, i1, i2)
+        bwd_ref, _ = model.apply(params, i2, i1)
+        (fwd, _), (bwd, _) = model.apply(params, i1, i2,
+                                         method=FlowFormer.bidirectional)
+        np.testing.assert_allclose(np.asarray(fwd[-1]),
+                                   np.asarray(fwd_ref[-1]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(bwd[-1]),
+                                   np.asarray(bwd_ref[-1]), atol=2e-3)

@@ -27,6 +27,8 @@ def get_args():
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--image_size", type=int, default=None,
                    help="override cfg.image_size (square)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize backbones in backward (less HBM)")
     return p.parse_args()
 
 
@@ -112,7 +114,8 @@ def main():
     flow_apply = lambda p, a, b: flow_model.apply(p, a, b)
     step_fn = make_train_step(
         homo_apply, flow_apply, tx, align_cfg, loss_cfg,
-        use_fb_consistency_mask=cfg.get("use_fb_consistency_mask", True))
+        use_fb_consistency_mask=cfg.get("use_fb_consistency_mask", True),
+        remat=args.remat)
 
     mesh = make_mesh()
     pstep = make_parallel_train_step(step_fn, mesh)
