@@ -141,3 +141,47 @@ class TestDiffusionUNet:
                                cimg, lat[..., 0:4])
         assert out.shape == (1, 16, 16, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTransRefTrainer:
+    def test_masks_and_input_prep(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from stitchax.train.transref_trainer import (prepare_inputs,
+                                                     random_rect_masks)
+        mask = random_rect_masks(jax.random.PRNGKey(1), 2, 64)
+        assert mask.shape == (2, 64, 64, 1)
+        assert 0 < float(mask.mean()) < 0.8
+        gt = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+        detail = prepare_inputs(gt, mask)
+        vis = np.asarray(1.0 - mask)
+        np.testing.assert_allclose(np.asarray(detail) * vis,
+                                   np.asarray(gt) * vis, atol=1e-6)
+        # masked pixels hold the per-image visible mean
+        m = np.asarray(mask)[0, ..., 0] > 0.5
+        mean = (np.asarray(gt)[0] * vis[0]).sum((0, 1)) / vis[0].sum()
+        np.testing.assert_allclose(np.asarray(detail)[0][m][0], mean,
+                                   atol=1e-5)
+
+    def test_loss_components(self, rng):
+        """Objective weights match the reference (1 L1, 0.04 perceptual,
+        250 style; base_options.py:33-35) and the loss is finite on a tiny
+        VGG forward. The full grad step is exercised by the generic trainer
+        machinery; TransRef's 256px backward is too heavy for CPU CI."""
+        import jax
+        import jax.numpy as jnp
+        from stitchax.models import VGG16Features
+        from stitchax.models.vgg import transref_total_loss
+        vgg = VGG16Features()
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+        vp = jax.jit(vgg.init)(jax.random.PRNGKey(0), x)
+        vgg_apply = lambda t: vgg.apply(vp, t)
+        pred = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+        gt = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+        out = transref_total_loss(vgg_apply, pred, gt, None,
+                                  l1_weight=1.0, perc_weight=0.04,
+                                  style_weight=250.0)
+        total = float(out["total"])
+        expect = (float(out["l1"]) + 0.04 * float(out["perceptual"])
+                  + 250.0 * float(out["style"]))
+        assert abs(total - expect) < 1e-4 * max(abs(expect), 1.0)
