@@ -403,18 +403,25 @@ class TransRefBase(nn.Module):
         return jnp.tanh(out)
 
 
-def make_default_transref_apply(size: int = 512, seed: int = 0):
+def make_default_transref_apply(size: int = 512, seed: int = 0,
+                                bf16: bool = True):
     """Jitted apply closure with randomly-initialized params.
 
     Real deployments load a converted 400_Trans.pth checkpoint
     (reference: transref_inpainter.py:19-28 — the ckpt is not shipped there
     either); random init keeps the full pipeline runnable end to end.
+    bf16=True runs the transformer in bfloat16 (the reference's inpainters
+    run fp16), outputs cast back to fp32.
     """
     model = TransRefBase()
     d = jnp.zeros((1, size, size, 3), jnp.float32)
     m = jnp.zeros((1, size, size, 1), jnp.float32)
     # jitted init: eager init is pathological through the remote-TPU tunnel
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), d, m, d)
+
+    if bf16:
+        from ..utils.precision import bf16_apply
+        return bf16_apply(model.apply, params)
 
     def apply_fn(detail, mask, reference):
         return model.apply(params, detail, mask, reference)

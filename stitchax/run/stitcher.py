@@ -169,15 +169,21 @@ class Stitcher:
 
         # homo_fn/flow_fn overrides support stub backbones in tests and
         # custom model families without subclassing
-        self._homo_fn = homo_fn or (lambda a, b: self.models.homo_model.apply(
-            self.models.homo_params, a, b))
-        self._flow_fn = flow_fn or (lambda a, b: self.models.flow_model.apply(
-            self.models.flow_params, a, b))
+        from ..utils.precision import bf16_apply
+        if homo_fn is None:
+            homo_fn = bf16_apply(self.models.homo_model.apply,
+                                 self.models.homo_params)
+        self._homo_fn = homo_fn
         self._flow_pair_fn = None
-        if flow_fn is None and models is not None:
+        if flow_fn is None:
+            flow_fn = bf16_apply(self.models.flow_model.apply,
+                                 self.models.flow_params)
             from ..models import FlowFormer as _FF
-            self._flow_pair_fn = lambda a, b: self.models.flow_model.apply(
-                self.models.flow_params, a, b, method=_FF.bidirectional)
+            self._flow_pair_fn = bf16_apply(
+                lambda p, a, b: self.models.flow_model.apply(
+                    p, a, b, method=_FF.bidirectional),
+                self.models.flow_params)
+        self._flow_fn = flow_fn
 
     # ----------------------- cached jitted stages --------------------------
 
@@ -233,12 +239,14 @@ class Stitcher:
     def _composition_step(self, shape):
         key = ("comp", shape)
         if key not in self._step_cache:
+            from ..utils.precision import bf16_apply
             model, params = self.models.comp_model, self.models.comp_params
+            apply16 = bf16_apply(model.apply, params)
 
             def fn(o1, o2, m1, m2):
                 n1 = jnp.clip(o1, 0, 255) / 127.5 - 1.0
                 n2 = jnp.clip(o2, 0, 255) / 127.5 - 1.0
-                out = model.apply(params, n1, n2, m1, m2)
+                out = apply16(n1, n2, m1, m2)
                 return compose_seam(out, n1, n2, m1, m2)
 
             self._step_cache[key] = jax.jit(fn)
