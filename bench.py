@@ -20,8 +20,8 @@ REFERENCE_PAIRS_PER_SEC = 1.0
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/stitchax_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from stitchax.utils.platform import setup_cli_jax
+    setup_cli_jax()
     import jax.numpy as jnp
 
     from stitchax.align.adapter import AlignConfig, stitch_model_step

@@ -62,12 +62,20 @@ def validate_with_model(cfg, loader, stitch_models, align_cfg):
     for batch in loader:
         img1 = jnp.asarray(batch["image1"])
         img2 = jnp.asarray(batch["image2"])
-        if sharding is not None and img1.shape[0] % n_dev == 0:
+        true_n = img1.shape[0]
+        if sharding is not None:
+            # pad the batch to a device multiple (padded rows computed then
+            # dropped) so sharding engages at every batch size
+            pad = -true_n % n_dev
+            if pad:
+                img1 = jnp.concatenate([img1, img1[-1:].repeat(pad, 0)], 0)
+                img2 = jnp.concatenate([img2, img2[-1:].repeat(pad, 0)], 0)
             img1 = jax.device_put(img1, sharding)
             img2 = jax.device_put(img2, sharding)
         warped, valid = eval_step(img1, img2)
+        warped, valid = warped[:true_n], valid[:true_n]
 
-        i1 = np.clip(np.asarray(img1), 0, 255).astype(np.uint8)
+        i1 = np.clip(np.asarray(img1)[:true_n], 0, 255).astype(np.uint8)
         w = np.clip(np.asarray(warped), 0, 255).astype(np.uint8)
         m = np.asarray(valid).astype(np.uint8)   # binary mask (quantized
         # exactly like the reference's .to(torch.uint8), evaluate.py:55-57)
@@ -109,20 +117,8 @@ def validate_with_model(cfg, loader, stitch_models, align_cfg):
 
 
 def _setup_jax_cache():
-    import os
-    import jax
-    # platform override (the image pre-imports jax with the TPU backend, so
-    # JAX_PLATFORMS in the env is too late; this config works post-import)
-    plat = os.environ.get("STITCHAX_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
-    # persistent cache only for the TPU backend: CPU AOT entries produced by
-    # the remote compile service carry other machines' CPU features and can
-    # SIGILL when loaded locally
-    if plat in (None, "", "tpu", "axon"):
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/stitchax_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from stitchax.utils.platform import setup_cli_jax
+    setup_cli_jax()
 
 
 def main():

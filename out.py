@@ -31,20 +31,8 @@ def get_args():
 
 
 def _setup_jax_cache():
-    import os
-    import jax
-    # platform override (the image pre-imports jax with the TPU backend, so
-    # JAX_PLATFORMS in the env is too late; this config works post-import)
-    plat = os.environ.get("STITCHAX_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
-    # persistent cache only for the TPU backend: CPU AOT entries produced by
-    # the remote compile service carry other machines' CPU features and can
-    # SIGILL when loaded locally
-    if plat in (None, "", "tpu", "axon"):
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/stitchax_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from stitchax.utils.platform import setup_cli_jax
+    setup_cli_jax()
 
 
 def main():
@@ -81,6 +69,7 @@ def main():
         do_avg_pooling=tps_c.do_avg_pooling,
         use_occ_filter=tps_c.use_occ_filter,
         use_border_points_mask=tps_c.use_border_points_mask,
+        use_valid_on_flow=tps_c.use_valid_on_flow,
         affine_scale=tps_c.affine_scale, kernel_scale=tps_c.kernel_scale,
         output2_is_only_tps=tps_c.output2_is_only_tps)
 

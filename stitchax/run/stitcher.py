@@ -169,20 +169,24 @@ class Stitcher:
 
         # homo_fn/flow_fn overrides support stub backbones in tests and
         # custom model families without subclassing
-        from ..utils.precision import bf16_apply
+        # late-binding closures: params are read from self.models at trace
+        # time, so StitchModels.restore()/restore_torch() called before the
+        # first stitch takes effect (after a stage compiles, its jit has the
+        # then-current params baked in — clear _step_cache to re-bind)
+        from ..models import FlowFormer as _FF
+        from ..utils.precision import bf16_call
         if homo_fn is None:
-            homo_fn = bf16_apply(self.models.homo_model.apply,
-                                 self.models.homo_params)
+            homo_fn = lambda a, b: bf16_call(
+                self.models.homo_model.apply, self.models.homo_params, a, b)
         self._homo_fn = homo_fn
         self._flow_pair_fn = None
         if flow_fn is None:
-            flow_fn = bf16_apply(self.models.flow_model.apply,
-                                 self.models.flow_params)
-            from ..models import FlowFormer as _FF
-            self._flow_pair_fn = bf16_apply(
-                lambda p, a, b: self.models.flow_model.apply(
-                    p, a, b, method=_FF.bidirectional),
-                self.models.flow_params)
+            flow_fn = lambda a, b: bf16_call(
+                self.models.flow_model.apply, self.models.flow_params, a, b)
+            self._flow_pair_fn = lambda a, b: bf16_call(
+                lambda p, x, y: self.models.flow_model.apply(
+                    p, x, y, method=_FF.bidirectional),
+                self.models.flow_params, a, b)
         self._flow_fn = flow_fn
 
     # ----------------------- cached jitted stages --------------------------
@@ -215,11 +219,11 @@ class Stitcher:
                     else self.inpainter_name)
 
             def fn(output1, mask1, h_warp, h_warp_mask, final_warp,
-                   residual_flow, width_min, height_min, occ):
+                   residual_flow, width_min, height_min, occ, valid_flow):
                 tps_out = tps_break_warp(
                     output1, mask1, h_warp, h_warp_mask, final_warp,
                     residual_flow, width_min, height_min, tps_cfg,
-                    occlusion_mask=occ)
+                    occlusion_mask=occ, valid_flow_mask=valid_flow)
                 mixed = mix_fn(tps_out["output2"], tps_out["mask2"],
                                output1, mask1, final_warp, occ,
                                inpaint=inpaint, inpainter_name=name)
@@ -239,14 +243,13 @@ class Stitcher:
     def _composition_step(self, shape):
         key = ("comp", shape)
         if key not in self._step_cache:
-            from ..utils.precision import bf16_apply
-            model, params = self.models.comp_model, self.models.comp_params
-            apply16 = bf16_apply(model.apply, params)
+            from ..utils.precision import bf16_call
 
             def fn(o1, o2, m1, m2):
                 n1 = jnp.clip(o1, 0, 255) / 127.5 - 1.0
                 n2 = jnp.clip(o2, 0, 255) / 127.5 - 1.0
-                out = apply16(n1, n2, m1, m2)
+                out = bf16_call(self.models.comp_model.apply,
+                                self.models.comp_params, n1, n2, m1, m2)
                 return compose_seam(out, n1, n2, m1, m2)
 
             self._step_cache[key] = jax.jit(fn)
@@ -284,10 +287,17 @@ class Stitcher:
         occ = r["occlusion_mask"]
         occ0 = (occ[0] if occ is not None
                 else jnp.ones((out_h, out_w, 1), i1.dtype))
+        # native-res fb-consistency mask as flow validity when configured
+        # (reference: out.py:218-224 use_valid_on_flow)
+        valid_flow = None
+        if self.tps_cfg.use_valid_on_flow:
+            ovm = out.get("origin_occlusion_mask")
+            if ovm is not None:
+                valid_flow = ovm[0]
         with stage("tps_break_mix"):
             t = tps(r["output1"][0], r["mask1"][0], r["H_warp"][0],
                 r["H_warp_mask"][0], r["final_warp"][0], out["flow"][0],
-                out["width_min"], out["height_min"], occ0)
+                out["width_min"], out["height_min"], occ0, valid_flow)
 
         result = {
             "H_warp": r["H_warp"][0],
@@ -341,6 +351,12 @@ class Stitcher:
                                        data_dict["IMG1"]))
         img2 = load_image(os.path.join(data_dict["DATA_PATH"],
                                        data_dict["IMG2"]))
+        if getattr(self.cfg, "resize_to_512", False):
+            from PIL import Image
+            rs = lambda a: np.asarray(Image.fromarray(
+                a.astype(np.uint8)).resize((512, 512), Image.BILINEAR),
+                np.float32)
+            img1, img2 = rs(img1), rs(img2)
         if getattr(self.cfg, "swap_image", False):
             img1, img2 = img2, img1
         out = self.stitch(img1, img2)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.transref import TransRefBase
-from ..models.vgg import perceptual_loss, style_loss
+from ..models.vgg import transref_total_loss
 
 
 @dataclass(frozen=True)
@@ -68,14 +68,11 @@ def make_transref_train_step(model: TransRefBase, vgg_apply: Callable,
     def loss_fn(params, gt, ref, mask):
         detail = prepare_inputs(gt, mask)
         out = model.apply(params, detail, mask, ref)
-        l1 = jnp.abs(out - gt).mean()
-        fx = vgg_apply((out + 1) / 2)
-        fy = vgg_apply((gt + 1) / 2)
-        perc = perceptual_loss(fx, fy)
-        sty = style_loss(fx, fy)
-        total = (cfg.lambda_l1 * l1 + cfg.lambda_perceptual * perc
-                 + cfg.lambda_style * sty)
-        return total, dict(total=total, l1=l1, perceptual=perc, style=sty)
+        losses = transref_total_loss(vgg_apply, out, gt, mask,
+                                     l1_weight=cfg.lambda_l1,
+                                     perc_weight=cfg.lambda_perceptual,
+                                     style_weight=cfg.lambda_style)
+        return losses["total"], losses
 
     def train_step(params, opt_state, gt, ref, mask):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

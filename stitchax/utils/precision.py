@@ -24,14 +24,21 @@ def _cast_tree(tree: Any, dtype) -> Any:
     return jax.tree_util.tree_map(cast, tree)
 
 
-def bf16_apply(apply_fn: Callable, params: Any) -> Callable:
-    """Wrap `apply_fn(params, *args)` to run in bfloat16: params cast once,
-    float args cast on entry, float outputs cast back to fp32."""
+def bf16_call(apply_fn: Callable, params: Any, *args) -> Any:
+    """Run `apply_fn(params, *args)` in bfloat16; fp32 outputs. The casts
+    happen inside the traced computation (jit folds them) — never cast
+    eagerly: per-op dispatch through the remote-TPU tunnel costs ~1s/leaf."""
     p16 = _cast_tree(params, jnp.bfloat16)
+    args16 = _cast_tree(args, jnp.bfloat16)
+    out = apply_fn(p16, *args16)
+    return _cast_tree(out, jnp.float32)
+
+
+def bf16_apply(apply_fn: Callable, params: Any) -> Callable:
+    """Wrap `apply_fn(params, *args)` to run in bfloat16 (casts are lazy —
+    they trace into the caller's jit rather than dispatching eagerly)."""
 
     def fn(*args):
-        args16 = _cast_tree(args, jnp.bfloat16)
-        out = apply_fn(p16, *args16)
-        return _cast_tree(out, jnp.float32)
+        return bf16_call(apply_fn, params, *args)
 
     return fn
