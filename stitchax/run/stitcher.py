@@ -95,6 +95,17 @@ class StitchModels:
             comp_params = jax.jit(comp_model.init)(k, img, img, m, m)
         models = cls(flow_model, flow_params, homo_model, homo_params,
                      comp_model, comp_params)
+        if cfg.get("only_init_model", False):
+            # reference init-ckpt path (out.py:69-75): separate pretrained
+            # flow (things_*.pth) and homography (UDIS2 epoch100) checkpoints
+            for key, kind in (("init_flow_ckpt", "flowformer"),
+                              ("init_homo_ckpt", "homography")):
+                path = cfg.get(key) or ""
+                if path and os.path.isfile(path):
+                    models.load_torch_init(path, kind)
+                elif path:
+                    print(f"[WARN] {key} {path!r} not found")
+            return models
         ckpt = getattr(cfg, "restore_ckpt", None) or ""
         if ckpt and os.path.isdir(ckpt):
             models.restore(ckpt)                      # orbax directory
@@ -103,6 +114,18 @@ class StitchModels:
         elif ckpt:
             print(f"[WARN] checkpoint {ckpt!r} not found; using random init")
         return models
+
+    def load_torch_init(self, path: str, kind: str):
+        """Load one of the reference's init checkpoints (only_init_model)."""
+        import jax.numpy as jnp
+        from .. import convert
+        variables = convert.convert_checkpoint(path, kind)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        if kind == "flowformer":
+            self.flow_params = variables
+        else:
+            self.homo_params = variables
+        print(f"[StitchModels] loaded {kind} init from {path}")
 
     def restore_torch(self, path: str):
         """Convert + load the reference's fused FlowHomoAdpater torch ckpt
