@@ -133,3 +133,38 @@ class FlowAugmentor:
         img1, img2, flow = self.spatial_transform(img1, img2, flow)
         return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
                 np.ascontiguousarray(flow))
+
+
+# --------------------- chromatic / PCA transforms ----------------------------
+# (reference: core/utils/flow_transforms.py:15-438 — the RAFT-era chromatic
+#  suite; unused by the UDIS path but part of the pretraining toolbox)
+
+
+def chromatic_transform(rng: np.random.Generator, img1: np.ndarray,
+                        img2: np.ndarray, brightness: float = 0.2,
+                        contrast: float = 0.4, gamma_range=(0.7, 1.5)):
+    """Shared chromatic jitter: gamma, brightness, contrast per pair."""
+    gamma = rng.uniform(*gamma_range)
+    bright = 1.0 + rng.uniform(-brightness, brightness)
+    contr = 1.0 + rng.uniform(-contrast, contrast)
+
+    def apply(img):
+        x = np.clip(img / 255.0, 0, 1) ** gamma
+        x = x * bright
+        mean = x.mean((0, 1), keepdims=True)
+        x = (x - mean) * contr + mean
+        return np.clip(x * 255.0, 0, 255).astype(np.float32)
+
+    return apply(img1), apply(img2)
+
+
+def pca_lighting(rng: np.random.Generator, img: np.ndarray,
+                 alpha_std: float = 0.1) -> np.ndarray:
+    """AlexNet-style PCA color lighting noise along the image's own RGB
+    principal components (the eigen transform of flow_transforms.py)."""
+    flat = img.reshape(-1, 3) / 255.0
+    cov = np.cov(flat, rowvar=False)
+    eigval, eigvec = np.linalg.eigh(cov)
+    alpha = rng.normal(0, alpha_std, 3)
+    shift = eigvec @ (alpha * np.sqrt(np.maximum(eigval, 0)))
+    return np.clip(img + shift[None, None] * 255.0, 0, 255).astype(np.float32)

@@ -153,3 +153,15 @@ class TestDilateThinArea:
                 torch.from_numpy(m.transpose(2, 0, 1)).unsqueeze(0))
             got = np.asarray(dilate_thin_area(jnp.asarray(m)))
             np.testing.assert_array_equal(got, ref[0].numpy().transpose(1, 2, 0))
+
+
+class TestChromatic:
+    def test_transforms_stay_in_range(self, rng):
+        from stitchax.data.augmentor import chromatic_transform, pca_lighting
+        nprng = np.random.default_rng(0)
+        a = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+        b = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+        a2, b2 = chromatic_transform(nprng, a, b)
+        assert a2.min() >= 0 and a2.max() <= 255 and a2.shape == a.shape
+        c = pca_lighting(nprng, a)
+        assert c.min() >= 0 and c.max() <= 255
