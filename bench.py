@@ -60,14 +60,17 @@ def main():
     img1 = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32)
     img2 = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32)
 
-    # warmup/compile
-    jax.block_until_ready(step(img1, img2))
+    # warmup/compile; sync via host fetch — block_until_ready is async
+    # through the remote-TPU relay and enqueue backpressure overcounts
+    # (CLAUDE.md benchmarking caveat)
+    out = step(img1, img2)
+    _ = float(out[0].sum())
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(img1, img2)
-    jax.block_until_ready(out)
+    _ = float(out[0].sum())  # device executes in order: syncs the chain
     dt = time.perf_counter() - t0
 
     pairs_per_sec = iters * B / dt
