@@ -228,9 +228,15 @@ class MemoryEncoder(nn.Module):
         cost_fwd = self._cost_volume(feat_s, feat_t)
         # backward cost volume is the exact transpose of the forward one
         cost_bwd = cost_fwd.transpose(0, 3, 4, 1, 2, 5)
-        x_f, _, h3w3 = self.cost_perceiver(cost_fwd, ctx1)
-        x_b, _, _ = self.cost_perceiver(cost_bwd, ctx2)
-        return (x_f, cost_fwd), (x_b, cost_bwd), h3w3
+        # both directions ride ONE batched perceiver call: the layer stack is
+        # op-count/latency bound at these tensor sizes, so doubling the batch
+        # beats two calls
+        cost = jnp.concatenate([cost_fwd, cost_bwd], axis=0)
+        ctx = jnp.concatenate([ctx1, ctx2], axis=0)
+        x, _, h3w3 = self.cost_perceiver(cost, ctx)
+        x_f, x_b = jnp.split(x.reshape(2, -1, *x.shape[1:]), 2, axis=0)
+        return ((x_f[0], cost_fwd), (x_b[0], cost_bwd), (ctx, cost, x),
+                h3w3)
 
 
 # --------------------------- decoder ---------------------------------------
@@ -531,10 +537,16 @@ class FlowFormer(nn.Module):
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
-        ctx1, _ = self.context_encoder(image1)
-        ctx2, _ = self.context_encoder(image2)
-        (mem_f, maps_f), (mem_b, maps_b), h3w3 = \
+        # one batched context pass + one batched perceiver + one batched
+        # decoder: both directions share every program, halving the
+        # op-dispatch overhead that dominates these small-tensor stages
+        ctx_both, _ = self.context_encoder(
+            jnp.concatenate([image1, image2], axis=0))
+        B = image1.shape[0]
+        ctx1, ctx2 = ctx_both[:B], ctx_both[B:]
+        _, _, (ctx_cat, cost_cat, mem_cat), h3w3 = \
             self.memory_encoder.bidirectional(image1, image2, ctx1, ctx2)
-        preds_f, lr_f = self.memory_decoder(mem_f, ctx1, maps_f, h3w3)
-        preds_b, lr_b = self.memory_decoder(mem_b, ctx2, maps_b, h3w3)
-        return (preds_f, lr_f), (preds_b, lr_b)
+        preds, lr = self.memory_decoder(mem_cat, ctx_cat, cost_cat, h3w3)
+        preds_f = [p[:B] for p in preds]
+        preds_b = [p[B:] for p in preds]
+        return (preds_f, lr[:B]), (preds_b, lr[B:])
