@@ -135,6 +135,94 @@ class FlowAugmentor:
                 np.ascontiguousarray(flow))
 
 
+class SparseFlowAugmentor(FlowAugmentor):
+    """Augmentation for sparse GT flow (KITTI/HD1K), where resizing must
+    splat valid flow vectors to their new integer positions instead of
+    interpolating (reference: core/utils/augmentor.py:165-303).
+
+    Differences from the dense augmentor, per the reference: color jitter is
+    always symmetric across the pair; no aspect stretch; no vertical flip;
+    inputs smaller than the crop are zero-padded bottom/right; the crop
+    origin is sampled with a (20, 50) pixel margin then clipped.
+    """
+
+    def color_transform(self, img1, img2):
+        stacked = np.concatenate([img1, img2], axis=0)
+        j = self._jitter(stacked)
+        return j[: img1.shape[0]], j[img1.shape[0]:]
+
+    def resize_sparse_flow_map(self, flow, valid, sx=1.0, sy=1.0):
+        """Nearest-splat resize of a sparse flow map: scale the coordinates
+        of valid vectors, round to the new grid, rebuild flow + validity."""
+        h, w = flow.shape[:2]
+        coords = np.stack(np.meshgrid(np.arange(w), np.arange(h)), -1)
+        coords = coords.reshape(-1, 2).astype(np.float32)
+        flow = flow.reshape(-1, 2).astype(np.float32)
+        valid = valid.reshape(-1) >= 1
+
+        coords1 = coords[valid] * [sx, sy]
+        flow1 = flow[valid] * [sx, sy]
+        h1, w1 = int(round(h * sy)), int(round(w * sx))
+
+        xx = np.round(coords1[:, 0]).astype(np.int32)
+        yy = np.round(coords1[:, 1]).astype(np.int32)
+        keep = (xx > 0) & (xx < w1) & (yy > 0) & (yy < h1)
+
+        flow_img = np.zeros((h1, w1, 2), np.float32)
+        valid_img = np.zeros((h1, w1), np.int32)
+        flow_img[yy[keep], xx[keep]] = flow1[keep]
+        valid_img[yy[keep], xx[keep]] = 1
+        return flow_img, valid_img
+
+    def spatial_transform(self, img1, img2, flow, valid):
+        c = self.cfg
+        ch, cw = c.crop_size
+        pad_b = max(ch - img1.shape[0], 0)
+        pad_r = max(cw - img1.shape[1], 0)
+        if pad_b or pad_r:
+            pad3 = ((0, pad_b), (0, pad_r), (0, 0))
+            img1 = np.pad(img1, pad3)
+            img2 = np.pad(img2, pad3)
+            flow = np.pad(flow, pad3)
+            valid = np.pad(valid, ((0, pad_b), (0, pad_r)))
+
+        h, w = img1.shape[:2]
+        min_scale = max((ch + 1) / h, (cw + 1) / w)
+        scale = max(2 ** self.rng.uniform(c.min_scale, c.max_scale),
+                    min_scale)
+        if self.rng.random() < c.spatial_aug_prob:
+            img1 = _resize_img(img1, scale, scale)
+            img2 = _resize_img(img2, scale, scale)
+            flow, valid = self.resize_sparse_flow_map(flow, valid,
+                                                      scale, scale)
+
+        if c.do_flip and self.rng.random() < 0.5:  # h-flip only (sparse)
+            img1, img2 = img1[:, ::-1], img2[:, ::-1]
+            flow = flow[:, ::-1] * [-1.0, 1.0]
+            valid = valid[:, ::-1]
+
+        margin_y, margin_x = 20, 50
+        h, w = img1.shape[:2]
+        y0 = self.rng.integers(0, h - ch + margin_y)
+        x0 = self.rng.integers(-margin_x, w - cw + margin_x)
+        y0 = int(np.clip(y0, 0, h - ch))
+        x0 = int(np.clip(x0, 0, w - cw))
+        sl = np.s_[y0:y0 + ch, x0:x0 + cw]
+        return img1[sl], img2[sl], flow[sl], valid[sl]
+
+    def __call__(self, img1, img2, flow, valid):
+        img1 = np.ascontiguousarray(img1, np.float32)
+        img2 = np.ascontiguousarray(img2, np.float32)
+        flow = np.ascontiguousarray(flow, np.float32)
+        valid = np.ascontiguousarray(valid, np.float32)
+        img1, img2 = self.color_transform(img1, img2)
+        img1, img2 = self.eraser_transform(img1, img2)
+        img1, img2, flow, valid = self.spatial_transform(img1, img2, flow,
+                                                         valid)
+        return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
+                np.ascontiguousarray(flow), np.ascontiguousarray(valid))
+
+
 # --------------------- chromatic / PCA transforms ----------------------------
 # (reference: core/utils/flow_transforms.py:15-438 — the RAFT-era chromatic
 #  suite; unused by the UDIS path but part of the pretraining toolbox)

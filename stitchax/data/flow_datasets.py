@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .augmentor import AugmentorConfig, FlowAugmentor
+from .augmentor import AugmentorConfig, FlowAugmentor, SparseFlowAugmentor
 from .frame_utils import read_gen, read_kitti_png_flow
 
 
@@ -27,7 +27,8 @@ class FlowDataset:
         self.sparse = sparse
         self.augmentor = None
         if aug_params is not None:
-            self.augmentor = FlowAugmentor(AugmentorConfig(**aug_params))
+            cls = SparseFlowAugmentor if sparse else FlowAugmentor
+            self.augmentor = cls(AugmentorConfig(**aug_params))
         self.flow_list: List[str] = []
         self.image_list: List[Tuple[str, str]] = []
         self.extra_info: List = []
@@ -46,8 +47,12 @@ class FlowDataset:
         else:
             flow = read_gen(self.flow_list[idx]).astype(np.float32)
 
-        if self.augmentor is not None and not self.sparse:
-            img1, img2, flow = self.augmentor(img1, img2, flow)
+        if self.augmentor is not None:
+            if self.sparse:
+                img1, img2, flow, valid = self.augmentor(img1, img2, flow,
+                                                         valid)
+            else:
+                img1, img2, flow = self.augmentor(img1, img2, flow)
         if valid is None:
             valid = ((np.abs(flow[..., 0]) < 1000)
                      & (np.abs(flow[..., 1]) < 1000))

@@ -75,6 +75,10 @@ class StitchModels:
     homo_params: Any
     comp_model: Optional[CompositionNet] = None
     comp_params: Any = None
+    # bumped on every weight load; Stitcher keys its jit cache on it, so a
+    # restore after the first stitch re-traces with the new params instead
+    # of silently reusing stages with the old weights baked in
+    version: int = 0
 
     @classmethod
     def build(cls, cfg, rng_seed: int = 0, use_composition: bool = True,
@@ -125,6 +129,7 @@ class StitchModels:
             self.flow_params = variables
         else:
             self.homo_params = variables
+        self.version += 1
         print(f"[StitchModels] loaded {kind} init from {path}")
 
     def restore_torch(self, path: str):
@@ -145,6 +150,7 @@ class StitchModels:
                 convert.convert_udis2_homography(homo_sd))
         if any(k.startswith("flow_backbone.") for k in sd):
             self.flow_params = as_jnp(convert.convert_flowformer(sd))
+        self.version += 1
         print(f"[StitchModels] converted torch checkpoint {path}")
 
     def restore(self, path: str):
@@ -159,6 +165,7 @@ class StitchModels:
         self.homo_params = restored["homo"]
         if self.comp_params is not None and "comp" in restored:
             self.comp_params = restored["comp"]
+        self.version += 1
 
     def save(self, path: str):
         import orbax.checkpoint as ocp
@@ -193,9 +200,9 @@ class Stitcher:
         # homo_fn/flow_fn overrides support stub backbones in tests and
         # custom model families without subclassing
         # late-binding closures: params are read from self.models at trace
-        # time, so StitchModels.restore()/restore_torch() called before the
-        # first stitch takes effect (after a stage compiles, its jit has the
-        # then-current params baked in — clear _step_cache to re-bind)
+        # time; the jit cache keys include models.version (bumped on every
+        # restore), so loading weights after the first stitch re-traces
+        # automatically instead of reusing stages with old params baked in
         from ..models import FlowFormer as _FF
         from ..utils.precision import bf16_call
         if homo_fn is None:
@@ -214,8 +221,11 @@ class Stitcher:
 
     # ----------------------- cached jitted stages --------------------------
 
+    def _params_version(self) -> int:
+        return self.models.version if self.models is not None else 0
+
     def _model_step(self, shape):
-        key = ("model", shape)
+        key = ("model", shape, self._params_version())
         if key not in self._step_cache:
             fn = lambda i1, i2: stitch_model_step(
                 self._homo_fn, self._flow_fn, i1, i2, self.align_cfg,
@@ -264,7 +274,7 @@ class Stitcher:
         return self._step_cache[key]
 
     def _composition_step(self, shape):
-        key = ("comp", shape)
+        key = ("comp", shape, self._params_version())
         if key not in self._step_cache:
             from ..utils.precision import bf16_call
 
