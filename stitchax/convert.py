@@ -226,7 +226,15 @@ def convert_twins_svt(sd: Mapping[str, Any], prefix: str,
     """timm twins_svt_large stages 1-2 (stages 3-4 deleted by the reference,
     encoders.py:12-19) -> stitchax TwinsSVT params. Layout: patch_embeds.N,
     blocks.N.M (LSA fused qkv on even M, GSA q/kv/sr/norm on odd M),
-    pos_block.N.proj.0 depthwise conv."""
+    pos_block.N.proj.0 depthwise conv.
+
+    The reference wraps the timm model as `self.svt` (encoders.py:10), so
+    real checkpoints nest the keys one level deeper
+    (`context_encoder.svt.patch_embeds...`) — detected here; flat layouts
+    are accepted too (activation-parity coverage:
+    tests/test_parity_twins.py)."""
+    if f"{prefix}.svt.patch_embeds.0.proj.weight" in sd:
+        prefix = f"{prefix}.svt"
     out: Dict[str, Any] = {}
     for s in range(len(depths)):
         out[f"patch_embed{s}"] = {
@@ -384,7 +392,10 @@ def _dwconv_mlp(sd, p):
 
 
 def _transref_block(sd, p, sr: int, attention: str = "self"):
-    """Block / Block_Ref / Block_dec (TransRef.py:597-716)."""
+    """Block / Block_Ref / Block_dec (TransRef.py:597-716). Block_dec uses
+    the plain `Attention` class (TransRef.py:604-608) — Attention_dec with
+    its task_query is dead code — so decoder blocks convert like self
+    blocks (activation-verified in tests/test_parity_transref.py)."""
     a = f"{p}.attn"
     attn: Dict[str, Any] = {"q": _lin(sd, f"{a}.q"),
                             "kv": _lin(sd, f"{a}.kv"),
@@ -392,8 +403,6 @@ def _transref_block(sd, p, sr: int, attention: str = "self"):
     if sr > 1:
         attn["sr"] = _convp(sd, f"{a}.sr")
         attn["sr_norm"] = norm_params(f"{a}.norm", sd)
-    if attention == "task":
-        attn["task_query"] = _np(sd[f"{a}.task_query"])
     out = {"norm1": norm_params(f"{p}.norm1", sd),
            "norm2": norm_params(f"{p}.norm2", sd),
            "attn": attn,
@@ -490,8 +499,7 @@ def convert_transref(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "norm1": norm_params("Tdec.norm1", sd),
     }
     for j in range(3):
-        tdec[f"block1_{j}"] = _transref_block(sd, f"Tdec.block1.{j}", 1,
-                                              "task")
+        tdec[f"block1_{j}"] = _transref_block(sd, f"Tdec.block1.{j}", 1)
 
     tail: Dict[str, Any] = {}
     for name in ("convd32x", "convd16x", "convd8x", "convd4x", "convd2x",

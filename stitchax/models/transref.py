@@ -107,45 +107,14 @@ class SRAttention(nn.Module):
         return out.reshape(B, H, W, C)
 
 
-class TaskQueryAttention(nn.Module):
-    """Decoder attention with learned task queries resized to the token count
-    (Attention_dec, TransRef.py:527-594)."""
-    heads: int
-    sr_ratio: int
-    num_queries: int = 48
-
-    @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
-        B, H, W, C = x.shape
-        d = C // self.heads
-        task_q = self.param("task_query", nn.initializers.normal(1.0),
-                            (1, self.num_queries, C))
-        q = nn.Dense(C, use_bias=True, name="q")(task_q)
-        q = jnp.broadcast_to(q, (B,) + q.shape[1:])
-
-        kv_in = x
-        if self.sr_ratio > 1:
-            s = self.sr_ratio
-            kv_in = nn.Conv(C, (s, s), strides=(s, s), name="sr")(kv_in)
-            kv_in = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(kv_in)
-        kv = nn.Dense(2 * C, use_bias=True, name="kv")(kv_in).reshape(B, -1, 2 * C)
-        k, v = jnp.split(kv, 2, axis=-1)
-        Nk = k.shape[1]
-        # reference interpolates q (heads, nq, d) to (heads, Nk, d)
-        qh = q.reshape(B, self.num_queries, self.heads, d).transpose(0, 2, 1, 3)
-        qh = jax.image.resize(qh, (B, self.heads, Nk, d), "bilinear")
-        qh = qh.transpose(0, 2, 1, 3).reshape(B, Nk, C)
-        out = _attend(qh, k, v, self.heads)
-        out = nn.Dense(C, name="proj")(out)
-        return out.reshape(B, H, W, C)
-
-
 class Block(nn.Module):
     """Pre-norm attention + DWConv-Mlp (TransRef.py:640-675)."""
     heads: int
     mlp_ratio: int
     sr_ratio: int
-    attention: str = "self"   # self | ref | task
+    attention: str = "self"   # self | ref
+    # (the reference's Attention_dec/task-query variant is dead code:
+    #  Block_dec instantiates the plain Attention, TransRef.py:604-608)
 
     @nn.compact
     def __call__(self, x, ref=None):
@@ -154,8 +123,6 @@ class Block(nn.Module):
         if self.attention == "ref":
             r = nn.LayerNorm(epsilon=1e-6, name="norm1_ref")(ref)
             y = SRAttention(self.heads, self.sr_ratio, name="attn")(y, r)
-        elif self.attention == "task":
-            y = TaskQueryAttention(self.heads, self.sr_ratio, name="attn")(y)
         else:
             y = SRAttention(self.heads, self.sr_ratio, name="attn")(y)
         x = x + y
@@ -337,14 +304,15 @@ class Tenc(nn.Module):
 
 
 class Tdec(nn.Module):
-    """1-extra-downsample decoder with task-query attention
-    (reference: TransRef.py:744-793,828-832)."""
+    """1-extra-downsample decoder: 3 plain self-attention Block_decs at 1/64
+    (reference: TransRef.py:732-793,828-832; Block_dec uses the plain
+    Attention — its task-query Attention_dec is never wired up)."""
 
     @nn.compact
     def __call__(self, feats):
         x = OverlapPatchEmbed(EMBED_DIMS[3], 3, 2, name="patch_embed1")(feats[3])
         for i in range(3):
-            x = Block(8, 4, 1, attention="task", name=f"block1_{i}")(x)
+            x = Block(8, 4, 1, name=f"block1_{i}")(x)
         return nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
 
 

@@ -128,7 +128,13 @@ class CompositionUpBlock(nn.Module):
     @nn.compact
     def __call__(self, x1, x2):
         B, H2, W2, _ = x2.shape
-        x1 = jax.image.resize(x1, (B, H2, W2, x1.shape[-1]), method="nearest")
+        # torch F.interpolate(mode='nearest') indexing: floor(i * in / out)
+        # (jax.image.resize 'nearest' uses half-pixel centers and picks
+        # different taps on the odd sizes the dilated downs produce —
+        # caught by tests/test_parity_udis2.py)
+        iy = jnp.floor(jnp.arange(H2) * (x1.shape[1] / H2)).astype(jnp.int32)
+        ix = jnp.floor(jnp.arange(W2) * (x1.shape[2] / W2)).astype(jnp.int32)
+        x1 = x1[:, iy][:, :, ix]
         x1 = nn.relu(nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                              name="half")(x1))
         x = jnp.concatenate([x2, x1], axis=-1)

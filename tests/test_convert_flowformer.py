@@ -111,8 +111,10 @@ def _fake_flowformer_sd(rng, encoder_depth=3):
     def t(name, *shape):
         sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.02
 
-    _fake_twins_sd(sd, "context_encoder", rng)
-    _fake_twins_sd(sd, "memory_encoder.feat_encoder", rng)
+    # real checkpoints nest the timm model under `.svt`
+    # (encoders.py:10: self.svt = timm.create_model(...))
+    _fake_twins_sd(sd, "context_encoder.svt", rng)
+    _fake_twins_sd(sd, "memory_encoder.feat_encoder.svt", rng)
 
     cpe = "memory_encoder.cost_perceiver_encoder"
     t(f"{cpe}.latent_tokens", 1, 8, 128)
