@@ -142,26 +142,36 @@ class TransRefInpainter(Inpainter):
 class StableDiffusionInpainter(Inpainter):
     """SD-1.5 + ControlNet inpainting (reference: inpainter.py:12-105).
 
-    The reference drives CUDA diffusers with downloaded runwayml /
-    lllyasviel checkpoints; this environment is zero-egress and ships no SD
-    weights, so the TPU-native fixed-shape denoising loop
-    (stitchax.models.diffusion) activates only when a converted checkpoint
-    is supplied; otherwise construction falls back to the classical filler
-    with a loud warning, keeping `out.py --inf_cfg *_diffusion` runnable.
+    The full TPU path (stitchax.models.{vae,clip_text,diffusion,
+    sd_pipeline}) activates when a packed checkpoint is supplied — via
+    `ckpt=`, or the STITCHAX_SD_CKPT env var (the Stitcher constructs
+    inpainters by name only). The reference downloads runwayml/lllyasviel
+    CUDA weights at import (inpainter.py:13-25); this environment is
+    zero-egress, so without a checkpoint construction falls back to the
+    classical filler with a loud warning, keeping
+    `out.py --inf_cfg *_diffusion` runnable.
     """
     name = "inpainter"
 
     def __init__(self, denoise_fn: Optional[Callable] = None,
+                 ckpt: Optional[str] = None,
                  num_steps: int = 50,
                  resize_to_area_limit: int = 750 * 750):
+        import os
         self.num_steps = num_steps
         self.resize_to_area_limit = resize_to_area_limit
+        ckpt = ckpt or os.environ.get("STITCHAX_SD_CKPT")
+        if denoise_fn is None and ckpt and os.path.isfile(ckpt):
+            from ..models.sd_pipeline import load_sd_checkpoint
+            denoise_fn = load_sd_checkpoint(ckpt, num_steps=num_steps)
+            print(f"[StableDiffusionInpainter] loaded SD checkpoint {ckpt}")
         self.denoise_fn = denoise_fn
         if denoise_fn is None:
             import warnings
             warnings.warn(
-                "No SD checkpoint provided; the diffusion inpainter falls "
-                "back to classical push-pull filling.")
+                "No SD checkpoint provided (pass ckpt= or set "
+                "STITCHAX_SD_CKPT); the diffusion inpainter falls back to "
+                "classical push-pull filling.")
             self._fallback = DiffusionJacobiInpainter()
 
     def inpaint(self, image, mask, control_image=None):

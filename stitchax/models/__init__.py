@@ -18,9 +18,18 @@ from .transref import TransRefBase, make_default_transref_apply
 from .quater_upsampler import QuaterUpsampler
 from .vgg import (VGG16Features, perceptual_loss, style_loss,
                   transref_total_loss)
+from .vae import AutoencoderKL, convert_vae
+from .clip_text import ClipTextEncoder, convert_clip_text, empty_prompt_tokens
+from .diffusion import (ControlNet, UNetConfig, UNet2DCondition,
+                        convert_controlnet, convert_sd_unet)
+from .sd_pipeline import load_sd_checkpoint, make_sd_inpaint_fn
 
 __all__ = ["TwinsSVT", "FlowFormer", "FlowFormerConfig", "UDIS2HomographyNet",
            "CompositionNet", "compose_seam", "ccl_correlation_flow",
            "ResNet50Stages", "TransRefBase", "make_default_transref_apply",
            "QuaterUpsampler", "VGG16Features", "perceptual_loss",
-           "style_loss", "transref_total_loss"]
+           "style_loss", "transref_total_loss",
+           "AutoencoderKL", "convert_vae", "ClipTextEncoder",
+           "convert_clip_text", "empty_prompt_tokens", "ControlNet",
+           "UNetConfig", "UNet2DCondition", "convert_controlnet",
+           "convert_sd_unet", "load_sd_checkpoint", "make_sd_inpaint_fn"]

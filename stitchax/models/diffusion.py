@@ -40,6 +40,7 @@ class UNetConfig:
     context_dim: int = 768
     num_heads: int = 8
     num_train_timesteps: int = 1000
+    norm_groups: int = 32             # GroupNorm groups (32 in SD)
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -53,15 +54,16 @@ def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 class ResBlock(nn.Module):
     out_ch: int
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(32, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv1")(h)
         t = nn.Dense(self.out_ch, name="temb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(32, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv2")(h)
         if x.shape[-1] != self.out_ch:
@@ -73,12 +75,13 @@ class TransformerBlock(nn.Module):
     """Self-attn + cross-attn + GEGLU ffn (SD spatial transformer)."""
     heads: int
     context_dim: int
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x, context):
         B, H, W, C = x.shape
         residual_long = x
-        x = nn.GroupNorm(32, name="norm_in")(x)
+        x = nn.GroupNorm(self.groups, epsilon=1e-6, name="norm_in")(x)
         x = nn.Conv(C, (1, 1), name="proj_in")(x)
         tokens = x.reshape(B, H * W, C)
 
@@ -98,11 +101,11 @@ class TransformerBlock(nn.Module):
             o = o.transpose(0, 2, 1, 3).reshape(B, -1, C)
             return nn.Dense(C, name=f"{name}_out")(o)
 
-        normed = nn.LayerNorm(name="norm1")(tokens)
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm1")(tokens)
         t = tokens + attn(normed, normed, "attn1")
         ctx = jnp.broadcast_to(context, (B,) + context.shape[-2:])
-        t = t + attn(nn.LayerNorm(name="norm2")(t), ctx, "attn2")
-        y = nn.LayerNorm(name="norm3")(t)
+        t = t + attn(nn.LayerNorm(epsilon=1e-5, name="norm2")(t), ctx, "attn2")
+        y = nn.LayerNorm(epsilon=1e-5, name="norm3")(t)
         a, g = jnp.split(nn.Dense(C * 8, name="geglu")(y), 2, -1)
         t = t + nn.Dense(C, name="ffn_out")(a * nn.gelu(g))
         x = t.reshape(B, H, W, C)
@@ -121,9 +124,11 @@ class DownBlock(nn.Module):
     def __call__(self, x, temb, context):
         skips = []
         for i in range(self.layers):
-            x = ResBlock(self.out_ch, name=f"res{i}")(x, temb)
+            x = ResBlock(self.out_ch, self.cfg.norm_groups,
+                         name=f"res{i}")(x, temb)
             if self.use_attn:
                 x = TransformerBlock(self.cfg.num_heads, self.cfg.context_dim,
+                                     self.cfg.norm_groups,
                                      name=f"attn{i}")(x, context)
             skips.append(x)
         if self.downsample:
@@ -144,9 +149,11 @@ class UpBlock(nn.Module):
     def __call__(self, x, skips, temb, context):
         for i in range(self.layers):
             x = jnp.concatenate([x, skips.pop()], -1)
-            x = ResBlock(self.out_ch, name=f"res{i}")(x, temb)
+            x = ResBlock(self.out_ch, self.cfg.norm_groups,
+                         name=f"res{i}")(x, temb)
             if self.use_attn:
                 x = TransformerBlock(self.cfg.num_heads, self.cfg.context_dim,
+                                     self.cfg.norm_groups,
                                      name=f"attn{i}")(x, context)
         if self.upsample:
             B, H, W, C = x.shape
@@ -178,10 +185,12 @@ class UNet2DCondition(nn.Module):
                              name=f"down{i}")(x, temb, context)
             skips += s
 
-        x = ResBlock(c.block_channels[-1], name="mid_res1")(x, temb)
-        x = TransformerBlock(c.num_heads, c.context_dim,
+        x = ResBlock(c.block_channels[-1], c.norm_groups,
+                     name="mid_res1")(x, temb)
+        x = TransformerBlock(c.num_heads, c.context_dim, c.norm_groups,
                              name="mid_attn")(x, context)
-        x = ResBlock(c.block_channels[-1], name="mid_res2")(x, temb)
+        x = ResBlock(c.block_channels[-1], c.norm_groups,
+                     name="mid_res2")(x, temb)
 
         if control_mid is not None:
             x = x + control_mid
@@ -194,7 +203,7 @@ class UNet2DCondition(nn.Module):
                         upsample=(i > 0), name=f"up{i}")(x, skips, temb,
                                                          context)
 
-        x = nn.GroupNorm(32, name="norm_out")(x)
+        x = nn.GroupNorm(c.norm_groups, epsilon=1e-5, name="norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(c.out_channels, (3, 3), padding="SAME",
                        name="conv_out")(x)
@@ -213,11 +222,14 @@ class ControlNet(nn.Module):
         temb = nn.Dense(ch0 * 4, name="time1")(temb)
         temb = nn.Dense(ch0 * 4, name="time2")(nn.silu(temb))
 
-        # control-image encoder (strided conv stack to latent res)
-        h = control_image
-        for i, ch in enumerate((16, 32, 96, 256)):
+        # control-image encoder: conv_in + 6 blocks (stride 2 on the odd
+        # ones) + zero conv_out — exactly diffusers'
+        # ControlNetConditioningEmbedding so checkpoints convert 1:1
+        h = nn.silu(nn.Conv(16, (3, 3), padding="SAME",
+                            name="hint_in")(control_image))
+        for i, ch in enumerate((16, 32, 32, 96, 96, 256)):
             h = nn.silu(nn.Conv(ch, (3, 3),
-                                strides=(2, 2) if i else (1, 1),
+                                strides=(2, 2) if i % 2 else (1, 1),
                                 padding="SAME", name=f"hint{i}")(h))
         hint = nn.Conv(ch0, (3, 3), padding="SAME",
                        kernel_init=nn.initializers.zeros, name="hint_out")(h)
@@ -236,10 +248,12 @@ class ControlNet(nn.Module):
                 residuals.append(nn.Conv(sk.shape[-1], (1, 1),
                                          kernel_init=nn.initializers.zeros,
                                          name=f"zero{i}_{j}")(sk))
-        x = ResBlock(c.block_channels[-1], name="mid_res1")(x, temb)
-        x = TransformerBlock(c.num_heads, c.context_dim,
+        x = ResBlock(c.block_channels[-1], c.norm_groups,
+                     name="mid_res1")(x, temb)
+        x = TransformerBlock(c.num_heads, c.context_dim, c.norm_groups,
                              name="mid_attn")(x, context)
-        x = ResBlock(c.block_channels[-1], name="mid_res2")(x, temb)
+        x = ResBlock(c.block_channels[-1], c.norm_groups,
+                     name="mid_res2")(x, temb)
         mid = nn.Conv(x.shape[-1], (1, 1), kernel_init=nn.initializers.zeros,
                       name="zero_mid")(x)
         return residuals, mid
@@ -250,11 +264,12 @@ class ControlNet(nn.Module):
 
 def ddim_schedule(num_train_steps: int, num_steps: int
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Timesteps + alphas_cumprod for the SD linear beta schedule."""
+    """Timesteps + alphas_cumprod for the SD scaled-linear beta schedule
+    (steps_offset=1, as in the SD-1.5 scheduler config)."""
     betas = jnp.linspace(0.00085 ** 0.5, 0.012 ** 0.5, num_train_steps) ** 2
     alphas_cumprod = jnp.cumprod(1.0 - betas)
     step = num_train_steps // num_steps
-    ts = (jnp.arange(num_steps) * step)[::-1]
+    ts = (jnp.arange(num_steps) * step)[::-1] + 1
     return ts, alphas_cumprod
 
 
@@ -271,11 +286,14 @@ def make_inpaint_denoiser(unet_apply, controlnet_apply, context,
             t = ts[i]
             a_t = acp[t]
             prev_t = jnp.maximum(t - num_train_steps // num_steps, 0)
-            a_prev = jnp.where(t > 0, acp[prev_t], 1.0)
+            a_prev = jnp.where(prev_t > 0, acp[prev_t], 1.0)
 
             inp = jnp.concatenate([lat, mask_latent, masked_latents], -1)
             tb = jnp.full((lat.shape[0],), t, jnp.float32)
-            res, mid = controlnet_apply(inp, tb, context, control_image)
+            # ControlNet sees the bare 4-channel latents — the 9-channel
+            # concat feeds only the inpaint UNet (diffusers
+            # StableDiffusionControlNetInpaintPipeline semantics)
+            res, mid = controlnet_apply(lat, tb, context, control_image)
             eps = unet_apply(inp, tb, context, res, mid)
 
             x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
@@ -286,3 +304,110 @@ def make_inpaint_denoiser(unet_apply, controlnet_apply, context,
         return lat
 
     return denoise
+
+
+# ------------------------------ converters -----------------------------------
+
+
+def _sd_res(sd, p):
+    from ..convert import _convp, _lin, norm_params
+    out = {"norm1": norm_params(f"{p}.norm1", sd),
+           "conv1": _convp(sd, f"{p}.conv1"),
+           "temb_proj": _lin(sd, f"{p}.time_emb_proj"),
+           "norm2": norm_params(f"{p}.norm2", sd),
+           "conv2": _convp(sd, f"{p}.conv2")}
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["skip"] = _convp(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def _sd_attn(sd, p):
+    from ..convert import _convp, _lin, norm_params
+    tb = f"{p}.transformer_blocks.0"
+    out = {"norm_in": norm_params(f"{p}.norm", sd),
+           "proj_in": _convp(sd, f"{p}.proj_in"),
+           "proj_out": _convp(sd, f"{p}.proj_out"),
+           "norm1": norm_params(f"{tb}.norm1", sd),
+           "norm2": norm_params(f"{tb}.norm2", sd),
+           "norm3": norm_params(f"{tb}.norm3", sd),
+           "geglu": _lin(sd, f"{tb}.ff.net.0.proj"),
+           "ffn_out": _lin(sd, f"{tb}.ff.net.2")}
+    for a in ("attn1", "attn2"):
+        out[f"{a}_q"] = _lin(sd, f"{tb}.{a}.to_q")
+        out[f"{a}_k"] = _lin(sd, f"{tb}.{a}.to_k")
+        out[f"{a}_v"] = _lin(sd, f"{tb}.{a}.to_v")
+        out[f"{a}_out"] = _lin(sd, f"{tb}.{a}.to_out.0")
+    return out
+
+
+def _sd_backbone(sd, params, cfg: UNetConfig):
+    """Shared conv_in/time/down/mid mapping (UNet and ControlNet)."""
+    from ..convert import _convp, _lin, norm_params
+    params["conv_in"] = _convp(sd, "conv_in")
+    params["time1"] = _lin(sd, "time_embedding.linear_1")
+    params["time2"] = _lin(sd, "time_embedding.linear_2")
+    n = len(cfg.block_channels)
+    for i in range(n):
+        blk: dict = {}
+        for j in range(cfg.layers_per_block):
+            blk[f"res{j}"] = _sd_res(sd, f"down_blocks.{i}.resnets.{j}")
+            if i in cfg.attention_resolutions:
+                blk[f"attn{j}"] = _sd_attn(sd,
+                                           f"down_blocks.{i}.attentions.{j}")
+        if i < n - 1:
+            blk["down"] = _convp(sd, f"down_blocks.{i}.downsamplers.0.conv")
+        params[f"down{i}"] = blk
+    params["mid_res1"] = _sd_res(sd, "mid_block.resnets.0")
+    params["mid_attn"] = _sd_attn(sd, "mid_block.attentions.0")
+    params["mid_res2"] = _sd_res(sd, "mid_block.resnets.1")
+
+
+def convert_sd_unet(sd, cfg: UNetConfig = UNetConfig()):
+    """diffusers UNet2DConditionModel (SD-1.5 inpaint) state dict ->
+    UNet2DCondition params. diffusers up_blocks.k maps to our up{n-1-k}
+    (our index tracks block_channels position; diffusers' tracks order of
+    execution)."""
+    from ..convert import _convp, norm_params
+    params: dict = {}
+    _sd_backbone(sd, params, cfg)
+    n = len(cfg.block_channels)
+    for k in range(n):
+        i = n - 1 - k
+        blk: dict = {}
+        for j in range(cfg.layers_per_block + 1):
+            blk[f"res{j}"] = _sd_res(sd, f"up_blocks.{k}.resnets.{j}")
+            if i in cfg.attention_resolutions:
+                blk[f"attn{j}"] = _sd_attn(sd,
+                                           f"up_blocks.{k}.attentions.{j}")
+        if i > 0:
+            blk["up"] = _convp(sd, f"up_blocks.{k}.upsamplers.0.conv")
+        params[f"up{i}"] = blk
+    params["norm_out"] = norm_params("conv_norm_out", sd)
+    params["conv_out"] = _convp(sd, "conv_out")
+    return {"params": params}
+
+
+def convert_controlnet(sd, cfg: UNetConfig = UNetConfig()):
+    """diffusers ControlNetModel (v11p inpaint) state dict -> ControlNet
+    params. controlnet_down_blocks.{0..11} are the per-skip zero convs in
+    walk order (conv_in, then each down block's layers + downsampler)."""
+    from ..convert import _convp
+    params: dict = {}
+    _sd_backbone(sd, params, cfg)
+    params["hint_in"] = _convp(sd, "controlnet_cond_embedding.conv_in")
+    for i in range(6):
+        params[f"hint{i}"] = _convp(sd,
+                                    f"controlnet_cond_embedding.blocks.{i}")
+    params["hint_out"] = _convp(sd, "controlnet_cond_embedding.conv_out")
+
+    params["zero0"] = _convp(sd, "controlnet_down_blocks.0")
+    flat = 1
+    n = len(cfg.block_channels)
+    for i in range(n):
+        per = cfg.layers_per_block + (1 if i < n - 1 else 0)
+        for j in range(per):
+            params[f"zero{i}_{j}"] = _convp(
+                sd, f"controlnet_down_blocks.{flat}")
+            flat += 1
+    params["zero_mid"] = _convp(sd, "controlnet_mid_block")
+    return {"params": params}
