@@ -1,14 +1,16 @@
-"""Headline benchmark: aligned pairs/sec/chip for the device-side hot path.
+"""Headline benchmark: full-stitch pairs/sec/chip (the BASELINE.md north
+star), plus the align-step device throughput as an extra metric.
 
-Times the full alignment device step at the reference's operating point
-(512x512, shipped percostformer3 config, fb-consistency on => homography net
-+ two FlowFormer passes), the stage that dominates the reference's per-pair
-GPU time (SURVEY.md §3.1 hot loops). Prints ONE JSON line.
+Full stitch = Stitcher.stitch on the demo pair resolution (384x448):
+align (homo + FlowFormer fwd+bwd at 512² bf16) -> canvas render -> TPS
+breaking -> mix with the classical inpainter, host syncs included —
+exactly what `out.py` runs per pair, minus composition (weights-dependent)
+and file IO. The align-step metric (512², batch 4) is kept for continuity
+with round 1 (BENCH_r01: 12.6 pairs/s). Prints ONE JSON line.
 
 `vs_baseline` is value / REFERENCE_PAIRS_PER_SEC. The reference publishes no
 numbers (BASELINE.md), so REFERENCE_PAIRS_PER_SEC = 1.0 pairs/s stands in as
-the nominal reference rate for its CUDA pipeline at the same operating point
-(FlowFormer++ fwd+bwd + UDIS2 homo at 512² plus its host round-trips);
+the nominal reference rate for its CUDA pipeline at the same operating point;
 replace with a measured value when reference checkpoints are available.
 """
 
@@ -16,6 +18,31 @@ import json
 import time
 
 REFERENCE_PAIRS_PER_SEC = 1.0
+
+
+def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
+    """Stitched pairs/sec through the real per-pair pipeline."""
+    import numpy as np
+    from stitchax.align.adapter import AlignConfig
+    from stitchax.run.stitcher import StitchModels, Stitcher, load_image
+    from stitchax.tps.pipeline import TPSConfig
+
+    models = StitchModels(flow_model, flow_params, homo_model, homo_params)
+    stitcher = Stitcher(models, {"swap_image": False},
+                        AlignConfig(), TPSConfig(),
+                        inpainter_name="cv_inpainter",
+                        mix_method="all_img1_with_inpaint")
+
+    img1 = load_image("demo_data/demo1/input1.jpg")
+    img2 = load_image("demo_data/demo1/input2.jpg")
+
+    stitcher.stitch(img1, img2)  # compile all stages for this shape
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = stitcher.stitch(img1, img2)
+    dt = time.perf_counter() - t0  # stitch() returns numpy: already synced
+    return iters / dt
 
 
 def main():
@@ -73,12 +100,21 @@ def main():
     _ = float(out[0].sum())  # device executes in order: syncs the chain
     dt = time.perf_counter() - t0
 
-    pairs_per_sec = iters * B / dt
+    align_pairs_per_sec = iters * B / dt
+
+    stitch_pairs_per_sec = bench_full_stitch(flow_model, flow_params,
+                                             homo_model, homo_params)
+
     print(json.dumps({
-        "metric": f"align_pairs_per_sec_per_chip_512_b{B} ({backend})",
-        "value": round(pairs_per_sec, 4),
+        "metric": f"full_stitch_pairs_per_sec_per_chip_384x448 ({backend})",
+        "value": round(stitch_pairs_per_sec, 4),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 4),
+        "vs_baseline": round(stitch_pairs_per_sec / REFERENCE_PAIRS_PER_SEC,
+                             4),
+        "extra": {
+            f"align_pairs_per_sec_per_chip_512_b{B}":
+                round(align_pairs_per_sec, 4),
+        },
     }))
 
 

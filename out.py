@@ -26,6 +26,11 @@ def get_args():
     p.add_argument("--result_dir", type=str, default="results")
     p.add_argument("--skip_if_avg_fusion_exists", action="store_true",
                    default=False)
+    p.add_argument("--input_bucket", type=int, default=None,
+                   help="round input dims up to this multiple (resize) so a "
+                        "mixed-resolution sweep reuses a few compiled "
+                        "programs instead of one set per distinct shape; "
+                        "default: cfg.input_bucket or 0 (native)")
     return p.parse_args()
 
 
@@ -76,9 +81,12 @@ def main():
     models = StitchModels.build(cfg,
                                 use_composition=cfg.get("use_composition",
                                                         True))
+    input_bucket = (args.input_bucket if args.input_bucket is not None
+                    else cfg.get("input_bucket", 0))
     stitcher = Stitcher(models, cfg, align_cfg, tps_cfg,
                         inpainter_name=tps_c.inpainter,
-                        mix_method=tps_c.mix_method)
+                        mix_method=tps_c.mix_method,
+                        input_bucket=input_bucket)
 
     pairs = load_pair_list(args.data_root_path, args.txt_file)
     error_list = []  # per-pair failure manifest (SURVEY.md §5 rebuild item)

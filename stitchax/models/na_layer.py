@@ -5,7 +5,7 @@ Rebuild of the reference's NATTEN-backed vertical attention
 selfattentionlayer_nat, gated behind vertical_encoder_attn='NA' at
 encoder.py:209-216). The reference JIT-compiles CUDA kernels that are absent
 from its repo (SURVEY.md §2.4 item 1); this version runs on the TPU-native
-neighborhood attention (stitchax.ops.pallas.neighborhood_attention):
+neighborhood attention (stitchax.ops.neighborhood_attention):
 context-augmented q/k over an 11x11 shifted window with a learned
 relative-position bias, scale 16^-0.5, concat-projection back to the latent
 dim, pre-norm ffn.
@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pallas.neighborhood_attention import neighborhood_attention
+from ..ops.neighborhood_attention import neighborhood_attention
 from .layers import TokenFfn
 
 

@@ -186,7 +186,8 @@ class Stitcher:
                  inpainter_name: str = "cv_inpainter",
                  mix_method: str = "all_img1_with_inpaint",
                  homo_fn: Optional[Callable] = None,
-                 flow_fn: Optional[Callable] = None):
+                 flow_fn: Optional[Callable] = None,
+                 input_bucket: int = 0):
         self.models = models
         self.cfg = cfg
         self.align_cfg = align_cfg
@@ -196,6 +197,14 @@ class Stitcher:
         self.inpainter_name = inpainter_name
         self.inpainter = get_inpainter(inpainter_name)
         self._step_cache: Dict[Tuple, Callable] = {}
+        # input-resolution bucketing: round input dims up to a multiple of
+        # `input_bucket` (0 = stitch at native res). A mixed-resolution
+        # sweep otherwise compiles a fresh program set per distinct (H, W)
+        # — pathological through the ~5-min-per-program remote-compile
+        # tunnel. Generalizes the reference's own resize_to_512 model path
+        # (core/flowHomoAdpater.py:203-205).
+        self.input_bucket = int(input_bucket)
+        self.compile_events: List[Tuple] = []   # compile telemetry
 
         # homo_fn/flow_fn overrides support stub backbones in tests and
         # custom model families without subclassing
@@ -224,9 +233,17 @@ class Stitcher:
     def _params_version(self) -> int:
         return self.models.version if self.models is not None else 0
 
+    def _log_compile(self, key):
+        """Record + announce a jit-cache miss (each distinct program costs
+        ~5 min through the remote-compile tunnel — see CLAUDE.md)."""
+        self.compile_events.append(key)
+        print(f"[Stitcher] compiling stage {key} "
+              f"(total programs: {len(self.compile_events)})")
+
     def _model_step(self, shape):
         key = ("model", shape, self._params_version())
         if key not in self._step_cache:
+            self._log_compile(key)
             fn = lambda i1, i2: stitch_model_step(
                 self._homo_fn, self._flow_fn, i1, i2, self.align_cfg,
                 flow_pair_fn=self._flow_pair_fn)
@@ -236,6 +253,7 @@ class Stitcher:
     def _render_step(self, shape, out_h, out_w):
         key = ("render", shape, out_h, out_w)
         if key not in self._step_cache:
+            self._log_compile(key)
             fn = functools.partial(stitch_render, out_h=out_h, out_w=out_w,
                                    cfg=self.align_cfg)
             self._step_cache[key] = jax.jit(fn)
@@ -245,6 +263,7 @@ class Stitcher:
         key = ("tps", shape, out_h, out_w, self.mix_method,
                self.inpainter_name)
         if key not in self._step_cache:
+            self._log_compile(key)
             tps_cfg = self.tps_cfg
             mix_fn = self.mix_fn
             inpaint = self.inpainter.inpaint
@@ -276,6 +295,7 @@ class Stitcher:
     def _composition_step(self, shape):
         key = ("comp", shape, self._params_version())
         if key not in self._step_cache:
+            self._log_compile(key)
             from ..utils.precision import bf16_call
 
             def fn(o1, o2, m1, m2):
@@ -294,6 +314,17 @@ class Stitcher:
         """Full stitch of one RGB pair ([0,255] float32 HWC). Returns numpy
         images cropped to the true canvas."""
         a = self.align_cfg
+        if self.input_bucket:
+            b = self.input_bucket
+            H0, W0 = img1.shape[:2]
+            Hb = max(-(-H0 // b) * b, b)
+            Wb = max(-(-W0 // b) * b, b)
+            if (Hb, Wb) != (H0, W0):
+                from PIL import Image
+                rs = lambda im: np.asarray(Image.fromarray(
+                    np.clip(im, 0, 255).astype(np.uint8)).resize(
+                    (Wb, Hb), Image.BILINEAR), np.float32)
+                img1, img2 = rs(img1), rs(img2)
         i1 = jnp.asarray(img1)[None]
         i2 = jnp.asarray(img2)[None]
         B, H, W, _ = i1.shape

@@ -66,6 +66,68 @@ class Logger:
         self._jsonl.close()
 
 
+def save_train_dashboard(path: str, image1, image2, flow_pred,
+                         valid=None, flow_gt=None):
+    """Reference-style training figure dashboard (core/utils/logger.py:
+    110-267 plot_the_results): a grid of inputs / validity, per-axis flow
+    maps, the flow-warped image2, and the avg blend — for the GT flow row
+    (when given, i.e. supervised flow pretraining) and the predicted row.
+    Arrays: images HWC [0,255]; flows HW2; valid HW (or None)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    import jax.numpy as jnp
+    from .. import ops
+
+    def row_for(flow):
+        fx, fy = np.asarray(flow[..., 0]), np.asarray(flow[..., 1])
+        warped = np.asarray(ops.flow_warp(jnp.asarray(image2, jnp.float32),
+                                          jnp.asarray(flow, jnp.float32)))
+        if valid is not None:
+            warped = warped * np.asarray(valid)[..., None]
+        blend = np.clip((np.asarray(image1, np.float64) + warped) / 2,
+                        0, 255).astype("uint8")
+        warped = np.clip(warped, 0, 255).astype("uint8")
+        return fx, fy, warped, blend
+
+    vmin_fn = lambda a: max(-200.0, float(a.min()))   # reference clamps the
+    vmax_fn = lambda a: min(200.0, float(a.max()))    # colormap to ±200
+
+    rows = [("pred", row_for(flow_pred))]
+    if flow_gt is not None:
+        rows.insert(0, ("gt", row_for(flow_gt)))
+
+    n = 1 + len(rows)
+    fig, axs = plt.subplots(n, 4, figsize=(16, 4 * n), squeeze=False)
+    axs[0, 0].imshow(np.clip(image1, 0, 255).astype("uint8"))
+    axs[0, 0].set_title("image1")
+    axs[0, 1].imshow(np.clip(image2, 0, 255).astype("uint8"))
+    axs[0, 1].set_title("image2")
+    if valid is not None:
+        axs[0, 2].imshow(np.asarray(valid), cmap="gray", vmin=0, vmax=1)
+        axs[0, 2].set_title("valid")
+    axs[0, 3].axis("off")
+    for r, (label, (fx, fy, warped, blend)) in enumerate(rows, start=1):
+        axs[r, 0].imshow(fx, vmin=vmin_fn(fx), vmax=vmax_fn(fx))
+        axs[r, 0].set_title(
+            f"{label} flow x  [{fx.min():.1f}, {fx.max():.1f}]")
+        axs[r, 1].imshow(fy, vmin=vmin_fn(fy), vmax=vmax_fn(fy))
+        axs[r, 1].set_title(
+            f"{label} flow y  [{fy.min():.1f}, {fy.max():.1f}]")
+        axs[r, 2].imshow(warped)
+        axs[r, 2].set_title(f"{label} warped image2")
+        axs[r, 3].imshow(blend)
+        axs[r, 3].set_title(f"{label} avg blend")
+    for ax in axs.ravel():
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
+
+
 def save_flow_panel(path: str, image1, image2, flow, warped=None):
     """Training dashboard panel: inputs, flow visualization, warp result
     (rebuild of the reference's matplotlib figure dashboards,

@@ -7,7 +7,7 @@ import pytest
 
 from stitchax.ops.pallas.tps_kernel import (tps_eval_grid_pallas,
                                             tps_eval_grid_ref)
-from stitchax.ops.pallas.neighborhood_attention import neighborhood_attention
+from stitchax.ops.neighborhood_attention import neighborhood_attention
 
 
 class TestTPSKernel:

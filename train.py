@@ -23,6 +23,9 @@ def get_args():
     p.add_argument("--ckpt_dir", type=str, default="./checkpoints/train")
     p.add_argument("--save_every", type=int, default=5000)
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--panel_every", type=int, default=5000,
+                   help="emit a figure dashboard (inputs/flow/warp/blend) "
+                        "every N steps; 0 disables")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--image_size", type=int, default=None,
@@ -136,6 +139,18 @@ def main():
             state, metrics = pstep(state, img1, img2)
             step += 1
             logger.push({k: v for k, v in metrics.items()}, step=step)
+            if args.panel_every and (step % args.panel_every == 0
+                                     or step == num_steps):
+                # figure dashboard (reference logger.py plot_the_results)
+                from stitchax.utils.logger import save_train_dashboard
+                flow_fn = jax.jit(lambda p, a, b: flow_apply(p, a, b)[0][-1])
+                pred = flow_fn(state.params["flow"], img1[:1], img2[:1])
+                path = os.path.join(args.ckpt_dir,
+                                    f"panel_{step:08d}.png")
+                save_train_dashboard(
+                    path, np.asarray(img1[0]), np.asarray(img2[0]),
+                    np.asarray(pred[0]))
+                logger.info(f"saved dashboard {path}")
             if step % args.save_every == 0 or step == num_steps:
                 path = os.path.abspath(os.path.join(
                     args.ckpt_dir, f"step_{step:08d}"))
