@@ -28,6 +28,58 @@ def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarra
     return img[iy, ix]
 
 
+def _axis_weights(i0f: jnp.ndarray, frac: jnp.ndarray, n: int,
+                  rule: str = "zeros"):
+    """Zeros-padding bilinear weights for the two gathered positions of one
+    axis, where the gather start is clip(i0, 0, n-2).
+
+    The true taps are (i0, i0+1) with weights (1-f, f), each zeroed when out
+    of [0, n-1]. The gathered block covers (start, start+1); with shift
+    s = i0 - start ∈ {-1, 0, +1} (|s|>1 ⇒ fully out of bounds), the gathered
+    position start+d carries the true tap d-s's weight, or 0 — which
+    reproduces per-tap zeros masking exactly with a single clamped gather.
+    """
+    start = jnp.clip(i0f, 0.0, float(n - 2))
+    s = i0f - start
+    if rule == "interior":
+        # UDIS2 clamped-index-weight semantics (torch_homo_transform.py):
+        # clamping makes out-of-range taps coincide and their signed
+        # weights cancel exactly, so only fully-interior floors contribute
+        w0 = (1.0 - frac) * (s == 0.0)
+        w1 = frac * (s == 0.0)
+    else:  # zeros padding: each true tap masked independently
+        w0 = (1.0 - frac) * (s == 0.0) + frac * (s == -1.0)
+        w1 = frac * (s == 0.0) + (1.0 - frac) * (s == 1.0)
+    return start.astype(jnp.int32), w0, w1
+
+
+def _bilinear_gather_2x2(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                         rule: str = "zeros") -> jnp.ndarray:
+    """Bilinear sample img (H, W, C) at pixel coords x/y (...,), zeros
+    padding, via ONE (2, 2, C) slice gather per pixel instead of four
+    (1, 1, C) gathers — TPU gathers are per-index serialized, so tap count,
+    not bytes, sets the cost (measured 4x faster at 512², see
+    tools/profile_flow_parts.py)."""
+    H, W, C = img.shape
+    shape = x.shape
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    sx, wx0, wx1 = _axis_weights(x0f, x - x0f, W, rule)
+    sy, wy0, wy1 = _axis_weights(y0f, y - y0f, H, rule)
+
+    starts = jnp.stack([sy.reshape(-1), sx.reshape(-1)], axis=-1)  # (P, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    blk = jax.lax.gather(img, starts, dn, slice_sizes=(2, 2, C),
+                         mode=jax.lax.GatherScatterMode.CLIP)  # (P, 2, 2, C)
+    wy = jnp.stack([wy0.reshape(-1), wy1.reshape(-1)], -1)      # (P, 2)
+    wx = jnp.stack([wx0.reshape(-1), wx1.reshape(-1)], -1)
+    out = jnp.einsum("pyxc,py,px->pc", blk, wy.astype(img.dtype),
+                     wx.astype(img.dtype))
+    return out.reshape(shape + (C,))
+
+
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, *, mode: str = "bilinear",
                 align_corners: bool = True,
                 padding_mode: str = "zeros") -> jnp.ndarray:
@@ -55,6 +107,9 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, *, mode: str = "bilinear",
             out = out * inb[..., None].astype(img.dtype)
         return out
 
+    if padding_mode == "zeros":
+        return _bilinear_gather_2x2(img, x, y)
+
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     x1 = x0 + 1.0
@@ -69,9 +124,6 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, *, mode: str = "bilinear",
         ix = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
         iy = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
         val = _gather_2d(img, ix, iy)
-        if padding_mode == "zeros":
-            inb = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1))
-            wgt = wgt * inb.astype(img.dtype)
         return val * wgt[..., None]
 
     out = (tap(x0, y0, wx0 * wy0) + tap(x1, y0, wx1 * wy0)
@@ -157,30 +209,12 @@ def homography_warp(img: jnp.ndarray, theta: jnp.ndarray,
     x = (x_s / t_s + 1.0) * W / 2.0
     y = (y_s / t_s + 1.0) * H / 2.0
 
-    x0 = jnp.floor(x).astype(jnp.int32)
-    x1 = x0 + 1
-    y0 = jnp.floor(y).astype(jnp.int32)
-    y1 = y0 + 1
-    x0 = jnp.clip(x0, 0, W - 1)
-    x1 = jnp.clip(x1, 0, W - 1)
-    y0 = jnp.clip(y0, 0, H - 1)
-    y1 = jnp.clip(y1, 0, H - 1)
-
-    x0f = x0.astype(img.dtype)
-    x1f = x1.astype(img.dtype)
-    y0f = y0.astype(img.dtype)
-    y1f = y1.astype(img.dtype)
-
-    Ia = _gather_2d(img, x0, y0)
-    Ib = _gather_2d(img, x0, y1)
-    Ic = _gather_2d(img, x1, y0)
-    Id = _gather_2d(img, x1, y1)
-
-    wa = ((x1f - x) * (y1f - y))[..., None]
-    wb = ((x1f - x) * (y - y0f))[..., None]
-    wc = ((x - x0f) * (y1f - y))[..., None]
-    wd = ((x - x0f) * (y - y0f))[..., None]
-    return wa * Ia + wb * Ib + wc * Ic + wd * Id
+    # clamped-index-weight semantics == interior-gated bilinear: clamping
+    # makes out-of-range taps coincide and their signed weights cancel to
+    # exactly zero, so a single (2,2,C) slice gather with weights gated on
+    # floor(x) ∈ [0, W-2] reproduces the reference bit-for-bit (and is ~4x
+    # faster than four 1-pixel gathers; TPU gathers are per-index bound)
+    return _bilinear_gather_2x2(img, x, y, rule="interior")
 
 
 # Batched variants -----------------------------------------------------------

@@ -126,8 +126,10 @@ class TestDiffusionUNet:
         ctx = jnp.zeros((1, 7, 16), jnp.float32)
         cimg = jnp.zeros((1, 128, 128, 3), jnp.float32)
         k = jax.random.PRNGKey(0)
-        cp = jax.jit(ctrl.init)(k, lat, t, ctx, cimg)
-        res, mid = ctrl.apply(cp, lat, t, ctx, cimg)
+        # the ControlNet sees bare 4-channel latents; the 9-channel concat
+        # feeds only the inpaint UNet (diffusers pipeline semantics)
+        cp = jax.jit(ctrl.init)(k, lat[..., :4], t, ctx, cimg)
+        res, mid = ctrl.apply(cp, lat[..., :4], t, ctx, cimg)
         up = jax.jit(unet.init)(k, lat, t, ctx, res, mid)
         eps = unet.apply(up, lat, t, ctx, res, mid)
         assert eps.shape == (1, 16, 16, 4)
