@@ -81,8 +81,9 @@ def main():
     models = StitchModels.build(cfg,
                                 use_composition=cfg.get("use_composition",
                                                         True))
-    input_bucket = (args.input_bucket if args.input_bucket is not None
-                    else cfg.get("input_bucket", 0))
+    # args are merged into cfg by build_out_config, so an unset CLI flag
+    # shows up as an explicit None — `or` chains past it
+    input_bucket = args.input_bucket or cfg.get("input_bucket") or 0
     stitcher = Stitcher(models, cfg, align_cfg, tps_cfg,
                         inpainter_name=tps_c.inpainter,
                         mix_method=tps_c.mix_method,

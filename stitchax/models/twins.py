@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas.window_attention import (window_attention_pallas,
+                                           window_attention_ref)
 from .layers import (Mlp, linear_position_embedding_sine, pad_to_multiple,
                      window_merge, window_partition)
 
@@ -172,7 +174,15 @@ class TwinsSVT(nn.Module):
 
 class LocallyGroupedAttnRPEContext(nn.Module):
     """Windowed attention with window-local sine RPE added to q/k inputs and a
-    projected context concatenated to the q/k stream (twins.py:229-304)."""
+    projected context concatenated to the q/k stream (twins.py:229-304).
+
+    TPU-native formulation: the q/k/v projections run bias-free on the
+    unpadded NHWC map (large MXU matmuls), and the window partition +
+    per-window attention is a fused Pallas kernel
+    (stitchax/ops/pallas/window_attention.py). Because the reference adds
+    the RPE before the projections and zero-pads the token map, padded
+    tokens reduce exactly to the per-window-position biases the kernel
+    adds — bit-identical semantics, no masks, no 6D layout churn."""
     dim: int
     num_heads: int
     ws: int
@@ -185,36 +195,44 @@ class LocallyGroupedAttnRPEContext(nn.Module):
         ctx = nn.Dense(self.vert_c_dim, name="context_proj")(context)
         x_qk = jnp.concatenate([x, ctx], axis=-1)
 
-        x, (h0, w0) = pad_to_multiple(x, self.ws)
-        x_qk, _ = pad_to_multiple(x_qk, self.ws)
-        Hp, Wp = x.shape[1], x.shape[2]
-
         # window-local coordinate embedding (coords_grid of the window)
         gy, gx = jnp.meshgrid(jnp.arange(self.ws, dtype=x.dtype),
                               jnp.arange(self.ws, dtype=x.dtype), indexing="ij")
         coords = jnp.stack([gx, gy], -1)  # (ws, ws, 2) xy
         enc = linear_position_embedding_sine(coords, dim=Cqk)
 
-        v = nn.Dense(self.dim, name="v")(x)
-        vw = window_partition(v, self.ws)
+        q_d = nn.Dense(self.dim, name="q")
+        k_d = nn.Dense(self.dim, name="k")
+        v_d = nn.Dense(self.dim, name="v")
 
-        x_qk = window_partition(x_qk, self.ws)  # (B, nW, ws*ws, Cqk)
-        x_qk = x_qk + enc.reshape(1, 1, self.ws * self.ws, Cqk)
-        q = nn.Dense(self.dim, name="q")(x_qk)
-        k = nn.Dense(self.dim, name="k")(x_qk)
+        T = self.ws * self.ws
+        q_bias = q_d(enc.reshape(T, Cqk))            # W_q·enc + b_q
+        k_bias = k_d(enc.reshape(T, Cqk))
+        b_q = q_d(jnp.zeros((1, Cqk), x.dtype))      # b_q
+        b_k = k_d(jnp.zeros((1, Cqk), x.dtype))
+        v_bias = v_d(jnp.zeros((1, C), x.dtype))     # b_v
+        qx = q_d(x_qk) - b_q                         # bias-free streams
+        kx = k_d(x_qk) - b_k
+        vx = v_d(x) - v_bias
 
-        d = self.dim // self.num_heads
-        scale = d ** -0.5
-
-        def heads(t):
-            Bn, Nw, T, _ = t.shape
-            return t.reshape(Bn, Nw, T, self.num_heads, d).transpose(0, 1, 3, 2, 4)
-
-        qh, kh, vh = heads(q), heads(k), heads(vw)
-        attn = jax.nn.softmax(jnp.einsum("bnhid,bnhjd->bnhij", qh, kh) * scale, -1)
-        out = jnp.einsum("bnhij,bnhjd->bnhid", attn, vh)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(B, -1, self.ws * self.ws, C)
-        out = window_merge(out, self.ws, Hp, Wp)[:, :h0, :w0]
+        # Dispatch (measured on v5e at the bench operating point
+        # (64, 64, 64, 128) bf16, tools/exp_window_attn.py): the XLA
+        # partition+einsum lowering runs 12.99 ms — of which the 6D
+        # partition transposes are only 1.95 ms; the rest is 51k
+        # (49,16)x(16,49) MXU dispatches — while the Pallas strip kernel
+        # runs 28 ms (per-program overhead x 640 grid steps). XLA stays
+        # the default until the kernel beats it; set
+        # STITCHAX_WINDOW_ATTN=pallas to opt in.
+        import os
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("STITCHAX_WINDOW_ATTN") == "pallas"):
+            out = window_attention_pallas(
+                qx, kx, vx, q_bias, k_bias, v_bias,
+                heads=self.num_heads, ws=self.ws)
+        else:
+            out = window_attention_ref(
+                qx, kx, vx, q_bias, k_bias, v_bias,
+                heads=self.num_heads, ws=self.ws)
         return nn.Dense(self.dim, name="proj")(out)
 
 

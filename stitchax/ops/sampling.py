@@ -56,10 +56,12 @@ def _axis_weights(i0f: jnp.ndarray, frac: jnp.ndarray, n: int,
 def _bilinear_gather_2x2(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                          rule: str = "zeros") -> jnp.ndarray:
     """Bilinear sample img (H, W, C) at pixel coords x/y (...,), zeros
-    padding, via ONE (2, 2, C) slice gather per pixel instead of four
-    (1, 1, C) gathers — TPU gathers are per-index serialized, so tap count,
-    not bytes, sets the cost (measured 4x faster at 512², see
-    tools/profile_flow_parts.py)."""
+    padding, via ONE flattened row lookup per pixel: TPU gathers are
+    per-fetched-row serialized, so the four taps are pre-packed into a
+    4-tap image IMG4 (H·W, 4C) with three cheap shifted copies, turning the
+    warp into an embedding-style single-row take. Measured at 512² batch 4
+    on v5e: 4x (1,1,C) gathers 120 ms -> one (2,2,C) slice gather 30 ms ->
+    IMG4 row-take 10 ms, bit-identical (tools/exp_warp_take.py)."""
     H, W, C = img.shape
     shape = x.shape
     x0f = jnp.floor(x)
@@ -67,12 +69,14 @@ def _bilinear_gather_2x2(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     sx, wx0, wx1 = _axis_weights(x0f, x - x0f, W, rule)
     sy, wy0, wy1 = _axis_weights(y0f, y - y0f, H, rule)
 
-    starts = jnp.stack([sy.reshape(-1), sx.reshape(-1)], axis=-1)  # (P, 2)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    blk = jax.lax.gather(img, starts, dn, slice_sizes=(2, 2, C),
-                         mode=jax.lax.GatherScatterMode.CLIP)  # (P, 2, 2, C)
+    # IMG4[y*W+x] = [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]];
+    # starts are clamped to [0, n-2], so the padded row/col is never read.
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)))
+    img4 = jnp.concatenate(
+        [p[:H, :W], p[:H, 1:W + 1], p[1:H + 1, :W], p[1:H + 1, 1:W + 1]],
+        axis=-1).reshape(H * W, 4 * C)
+    idx = (sy * W + sx).reshape(-1)
+    blk = jnp.take(img4, idx, axis=0).reshape(-1, 2, 2, C)
     wy = jnp.stack([wy0.reshape(-1), wy1.reshape(-1)], -1)      # (P, 2)
     wx = jnp.stack([wx0.reshape(-1), wx1.reshape(-1)], -1)
     out = jnp.einsum("pyxc,py,px->pc", blk, wy.astype(img.dtype),
@@ -211,9 +215,9 @@ def homography_warp(img: jnp.ndarray, theta: jnp.ndarray,
 
     # clamped-index-weight semantics == interior-gated bilinear: clamping
     # makes out-of-range taps coincide and their signed weights cancel to
-    # exactly zero, so a single (2,2,C) slice gather with weights gated on
-    # floor(x) ∈ [0, W-2] reproduces the reference bit-for-bit (and is ~4x
-    # faster than four 1-pixel gathers; TPU gathers are per-index bound)
+    # exactly zero, so the single-row IMG4 lookup with weights gated on
+    # floor(x) ∈ [0, W-2] reproduces the reference bit-for-bit (~12x
+    # faster than four 1-pixel gathers; TPU gathers are per-row bound)
     return _bilinear_gather_2x2(img, x, y, rule="interior")
 
 

@@ -203,7 +203,7 @@ class Stitcher:
         # — pathological through the ~5-min-per-program remote-compile
         # tunnel. Generalizes the reference's own resize_to_512 model path
         # (core/flowHomoAdpater.py:203-205).
-        self.input_bucket = int(input_bucket)
+        self.input_bucket = int(input_bucket or 0)
         self.compile_events: List[Tuple] = []   # compile telemetry
 
         # homo_fn/flow_fn overrides support stub backbones in tests and

@@ -95,3 +95,73 @@ class TestNASmallMaps:
         want = np.einsum("bnijm,bmnd->bijnd", a,
                          v.reshape(B, H * W, heads, d))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+class TestWindowAttention:
+    """Fused twins-LSA window attention kernel vs its XLA oracle and vs the
+    original inline formulation of LocallyGroupedAttnRPEContext."""
+
+    def _make(self, rng, B, H, W, C, T):
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        return (mk(B, H, W, C), mk(B, H, W, C), mk(B, H, W, C),
+                mk(T, C) * 0.3, mk(T, C) * 0.3, mk(1, C) * 0.3)
+
+    @pytest.mark.parametrize("H,W,sb", [(14, 21, 1), (16, 20, 1), (9, 7, 1),
+                                        (14, 21, 2), (16, 20, 3)])
+    def test_kernel_matches_oracle(self, rng, H, W, sb):
+        from stitchax.ops.pallas.window_attention import (
+            window_attention_pallas, window_attention_ref)
+        B, C, heads, ws = 2, 32, 4, 7
+        args = self._make(rng, B, H, W, C, ws * ws)
+        ref = window_attention_ref(*args, heads=heads, ws=ws)
+        got = window_attention_pallas(*args, heads=heads, ws=ws,
+                                      block_strips=sb, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_module_matches_original_formulation(self, rng):
+        """The bias-decomposed module must equal the reference formulation
+        (zero-pad -> +RPE -> dense q/k on windows) leaf-for-leaf."""
+        from stitchax.models.twins import LocallyGroupedAttnRPEContext
+        from stitchax.models.layers import (linear_position_embedding_sine,
+                                            pad_to_multiple, window_merge,
+                                            window_partition)
+        dim, heads, ws, cdim = 32, 4, 7, 16
+        B, H, W = 2, 16, 20
+        x = jnp.asarray(rng.standard_normal((B, H, W, dim)),
+                        jnp.float32)
+        ctx = jnp.asarray(rng.standard_normal((B, H, W, 24)), jnp.float32)
+        mod = LocallyGroupedAttnRPEContext(dim, heads, ws, cdim)
+        params = jax.jit(mod.init)(jax.random.PRNGKey(0), x, ctx)
+        got = jax.jit(mod.apply)(params, x, ctx)
+
+        # original formulation, replayed on the same param tree
+        p = params["params"]
+        dense = lambda t, n: t @ p[n]["kernel"] + p[n]["bias"]
+        x_qk = jnp.concatenate([x, dense(ctx, "context_proj")], -1)
+        xp, (h0, w0) = pad_to_multiple(x, ws)
+        x_qk, _ = pad_to_multiple(x_qk, ws)
+        Hp, Wp = xp.shape[1], xp.shape[2]
+        gy, gx = jnp.meshgrid(jnp.arange(ws, dtype=x.dtype),
+                              jnp.arange(ws, dtype=x.dtype), indexing="ij")
+        enc = linear_position_embedding_sine(
+            jnp.stack([gx, gy], -1), dim=dim + cdim)
+        vw = window_partition(dense(xp, "v"), ws)
+        x_qk = window_partition(x_qk, ws) + enc.reshape(1, 1, ws * ws,
+                                                        dim + cdim)
+        q, k = dense(x_qk, "q"), dense(x_qk, "k")
+        d = dim // heads
+
+        def heads_t(t):
+            Bn, Nw, T, _ = t.shape
+            return t.reshape(Bn, Nw, T, heads, d).transpose(0, 1, 3, 2, 4)
+
+        attn = jax.nn.softmax(
+            jnp.einsum("bnhid,bnhjd->bnhij", heads_t(q), heads_t(k))
+            * d ** -0.5, -1)
+        out = jnp.einsum("bnhij,bnhjd->bnhid", attn, heads_t(vw))
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B, -1, ws * ws, dim)
+        out = window_merge(out, ws, Hp, Wp)[:, :h0, :w0]
+        want = dense(out, "proj")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
