@@ -176,7 +176,11 @@ def stitch_model_step(homo_fn: Callable, flow_fn: Callable,
     out = dict(H=H, flow=flow, warp2_mask_512=warp2_mask_512,
                warp2_512=warp2_512, in1_512=in1_512,
                width_min=width_min, height_min=height_min,
-               width_max=width_max, height_max=height_max)
+               width_max=width_max, height_max=height_max,
+               # one stacked leaf so the host canvas-bucket decision costs a
+               # single relay fetch instead of four
+               canvas_box=jnp.stack([width_min, height_min,
+                                     width_max, height_max]))
 
     if cfg.use_fb_consistency_mask:
         if back_preds_512 is None:

@@ -308,6 +308,25 @@ class Stitcher:
             self._step_cache[key] = jax.jit(fn)
         return self._step_cache[key]
 
+    def _pack_step(self, out_h, out_w, n_img, n_mask):
+        """One jitted device-side encoder packing all canvas outputs into a
+        single uint8 buffer: the remote-TPU relay moves ~13 MB/s with ~33 ms
+        RTT (tools/exp_fetch.py), so fetching seven fp32 canvases one by one
+        costs ~1.7 s/pair — 4x the actual device compute. uint8 is
+        parity-exact for this pipeline: the reference materializes these
+        same outputs as 8-bit JPEGs (out.py:290-308)."""
+        key = ("pack", out_h, out_w, n_img, n_mask)
+        if key not in self._step_cache:
+            self._log_compile(key)
+
+            def fn(imgs, masks):
+                parts = [jnp.clip(i, 0, 255) for i in imgs]
+                parts += [jnp.clip(m, 0, 1) * 255.0 for m in masks]
+                return jnp.rint(jnp.concatenate(parts, -1)).astype(jnp.uint8)
+
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
     # ------------------------------ pipeline -------------------------------
 
     def stitch(self, img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:
@@ -334,10 +353,18 @@ class Stitcher:
             step = self._model_step((H, W))
             out = step(i1, i2)
 
-        width_min = float(out["width_min"])
-        height_min = float(out["height_min"])
-        true_w = int(float(out["width_max"]) - width_min)
-        true_h = int(float(out["height_max"]) - height_min)
+        # ONE batched host fetch for the canvas box: each float() is a
+        # blocking round-trip through the remote-TPU relay (~100 ms), and
+        # four of them serialized dominate the per-pair host path
+        if "canvas_box" in out:
+            box = np.asarray(jax.device_get(out["canvas_box"]))
+        else:  # stub model steps in tests return separate scalars
+            box = np.asarray(jax.device_get(
+                [out["width_min"], out["height_min"],
+                 out["width_max"], out["height_max"]]))
+        width_min, height_min = float(box[0]), float(box[1])
+        true_w = int(float(box[2]) - width_min)
+        true_h = int(float(box[3]) - height_min)
         out_w = bucket_canvas(true_w, a.canvas_bucket, a.max_canvas)
         out_h = bucket_canvas(true_h, a.canvas_bucket, a.max_canvas)
 
@@ -393,18 +420,35 @@ class Stitcher:
             result["learned_mask1"] = c["learned_mask1"][0] * 255.0
             result["learned_mask2"] = c["learned_mask2"][0] * 255.0
 
-        # crop padded canvas back to the true extent before returning
-        # (anything still at the bucketed canvas size gets cropped; the
-        # composition outputs may have been resized and are left as-is)
-        np_result = {}
-        for k, v in result.items():
-            if isinstance(v, jnp.ndarray) and v.ndim == 3:
-                arr = np.asarray(v)
-                if arr.shape[:2] == (out_h, out_w):
-                    arr = arr[:true_h, :true_w]
-                np_result[k] = arr
-            else:
-                np_result[k] = v
+        # Device->host is the per-pair bottleneck (~13 MB/s relay,
+        # tools/exp_fetch.py): pack every canvas-resolution output into ONE
+        # uint8 buffer on device, fetch it in a single transfer, then split
+        # and crop to the true extent on the host. Non-canvas outputs (e.g.
+        # resized composition images) ride a device_get.
+        np_result = dict(result)
+        canvas = lambda v: (isinstance(v, jnp.ndarray) and v.ndim == 3
+                            and v.shape[:2] == (out_h, out_w))
+        img_keys = [k for k, v in result.items()
+                    if canvas(v) and v.shape[2] == 3]
+        mask_keys = [k for k, v in result.items()
+                     if canvas(v) and v.shape[2] == 1]
+        pack = self._pack_step(out_h, out_w, len(img_keys), len(mask_keys))
+        packed = np.asarray(pack([result[k] for k in img_keys],
+                                 [result[k] for k in mask_keys]))
+        packed = packed[:true_h, :true_w].astype(np.float32)
+        for i, k in enumerate(img_keys):
+            np_result[k] = packed[..., 3 * i:3 * i + 3]
+        off = 3 * len(img_keys)
+        for j, k in enumerate(mask_keys):
+            np_result[k] = packed[..., off + j:off + j + 1] / 255.0
+        other = [k for k, v in result.items()
+                 if isinstance(v, jnp.ndarray) and v.ndim == 3
+                 and k not in img_keys and k not in mask_keys]
+        for k, arr in zip(other, jax.device_get([result[k] for k in other])
+                          if other else []):
+            if arr.shape[:2] == (out_h, out_w):
+                arr = arr[:true_h, :true_w]
+            np_result[k] = arr
         return np_result
 
     def stitch_and_save(self, data_dict: Dict[str, str], result_path: str):

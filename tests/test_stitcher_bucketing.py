@@ -44,8 +44,9 @@ def test_mixed_resolution_sweep_compiles_few_programs(rng):
         out = st.stitch(img1, img2)
         assert out["ave_fusion"].ndim == 3
     # all four shapes bucket to (128, 192): one program per stage
+    # (model / render / tps / output-pack)
     stages = {k[0] for k in st.compile_events}
-    assert len(st.compile_events) <= len(stages) <= 3, st.compile_events
+    assert len(st.compile_events) <= len(stages) <= 4, st.compile_events
 
 
 def test_native_res_when_bucketing_off(rng):

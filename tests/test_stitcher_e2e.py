@@ -88,3 +88,53 @@ class TestStitcherE2E:
 
         # seamless blend over the whole true canvas core
         assert err_at(out["ave_fusion"], np.s_[8:W + shift - 8], 8) < 6.0
+
+    def test_diagonal_pair(self, rng):
+        """Both canvas axes must expand: img2 is shifted right AND down, so
+        height_min/height_max and the vertical render path get exercised
+        (the translation case only grows the width)."""
+        H, W, sx, sy = 128, 160, 24, 16
+        base = rng.uniform(40, 215, ((H + sy) // 8, (W + sx) // 8, 3))
+        from PIL import Image
+        scene = np.asarray(Image.fromarray(base.astype(np.uint8)).resize(
+            (W + sx, H + sy), Image.BILINEAR), np.float32)
+        img1 = scene[:H, :W].copy()
+        img2 = scene[sy:, sx:].copy()
+        S = 512
+
+        def homo_fn(a, b):
+            dx, dy = -sx * (S / W), -sy * (S / H)
+            off = jnp.array([[dx, dy] * 4], jnp.float32)
+            return jnp.broadcast_to(off, (a.shape[0], 8))
+
+        def flow_fn(a, b):
+            zero = jnp.zeros(a.shape[:3] + (2,), a.dtype)
+            return [zero], zero[:, ::8, ::8]
+
+        st = Stitcher(None, _Cfg(swap_image=False),
+                      AlignConfig(use_fb_consistency_mask=False,
+                                  canvas_bucket=64),
+                      TPSConfig(grid_h=8, grid_w=8),
+                      inpainter_name="cv_inpainter",
+                      homo_fn=homo_fn, flow_fn=flow_fn)
+        out = st.stitch(img1, img2)
+
+        assert out["out_w"] == pytest.approx(W + sx, abs=2)
+        assert out["out_h"] == pytest.approx(H + sy, abs=2)
+
+        def err2d(canvas_img, sl_y, sl_x, y0, x0):
+            h = sl_y.stop - sl_y.start
+            w = sl_x.stop - sl_x.start
+            return np.abs(canvas_img[sl_y, sl_x]
+                          - scene[y0:y0 + h, x0:x0 + w]).mean()
+
+        # warp1 = img1 at the canvas origin
+        assert err2d(out["warp1"], np.s_[8:H - 8], np.s_[8:W - 8], 8, 8) < 6.0
+        # warp2 core sits at (sy, sx) with scene content under a live mask
+        cy, cx = np.s_[sy + 8:H + sy - 8], np.s_[sx + 8:W + sx - 8]
+        assert out["mask2"][cy, cx].mean() > 0.9
+        good = err2d(out["warp2"], cy, cx, sy + 8, sx + 8)
+        assert good < 6.0
+        # placement specificity along BOTH axes
+        assert err2d(out["warp2"], cy, cx, sy + 16, sx + 8) > 2.5 * good
+        assert err2d(out["warp2"], cy, cx, sy + 8, sx + 16) > 2.5 * good
