@@ -38,15 +38,15 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
 
     stitcher.stitch(img1, img2)  # compile all stages for this shape
     stitcher.stitch(img1, img2)  # settle the tunnel after compile traffic
-    # median of per-iteration times: the per-pair path is host-orchestrated
-    # through the remote-TPU relay, whose latency spikes otherwise swing a
-    # short mean by ±50% run to run
-    times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        stitcher.stitch(img1, img2)  # returns numpy: already synced
-        times.append(time.perf_counter() - t0)
-    return 1.0 / sorted(times)[len(times) // 2]
+    # pipelined sweep throughput: stitch_many overlaps pair k's output
+    # transfer with pair k+1's device stages — the sweep rate out.py
+    # achieves, and long enough to average out relay latency spikes
+    iters = 9
+    t0 = time.perf_counter()
+    n = sum(1 for _ in stitcher.stitch_many([(img1, img2)] * iters))
+    dt = time.perf_counter() - t0
+    assert n == iters
+    return iters / dt
 
 
 def main():

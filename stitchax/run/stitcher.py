@@ -332,6 +332,26 @@ class Stitcher:
     def stitch(self, img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:
         """Full stitch of one RGB pair ([0,255] float32 HWC). Returns numpy
         images cropped to the true canvas."""
+        return self._stitch_finalize(self._stitch_device(img1, img2))
+
+    def stitch_many(self, pairs):
+        """Pipelined stitch over an iterable of (img1, img2): pair k's
+        packed output streams to the host (copy_to_host_async) while pair
+        k+1's device stages run, overlapping the relay transfer with the
+        compute instead of serializing them. Yields one result dict per
+        pair, in order."""
+        prev = None
+        for img1, img2 in pairs:
+            state = self._stitch_device(img1, img2)
+            if prev is not None:
+                yield self._stitch_finalize(prev)
+            prev = state
+        if prev is not None:
+            yield self._stitch_finalize(prev)
+
+    def _stitch_device(self, img1: np.ndarray, img2: np.ndarray) -> Dict:
+        """Dispatch all device stages for one pair and start the output
+        transfer; host-blocks only on the 4-scalar canvas box."""
         a = self.align_cfg
         if self.input_bucket:
             b = self.input_bucket
@@ -422,10 +442,9 @@ class Stitcher:
 
         # Device->host is the per-pair bottleneck (~13 MB/s relay,
         # tools/exp_fetch.py): pack every canvas-resolution output into ONE
-        # uint8 buffer on device, fetch it in a single transfer, then split
-        # and crop to the true extent on the host. Non-canvas outputs (e.g.
-        # resized composition images) ride a device_get.
-        np_result = dict(result)
+        # uint8 buffer on device and start its transfer immediately; the
+        # host-side split/crop happens in _stitch_finalize. uint8 is
+        # parity-exact (these outputs are materialized as 8-bit JPEGs).
         canvas = lambda v: (isinstance(v, jnp.ndarray) and v.ndim == 3
                             and v.shape[:2] == (out_h, out_w))
         img_keys = [k for k, v in result.items()
@@ -433,17 +452,35 @@ class Stitcher:
         mask_keys = [k for k, v in result.items()
                      if canvas(v) and v.shape[2] == 1]
         pack = self._pack_step(out_h, out_w, len(img_keys), len(mask_keys))
-        packed = np.asarray(pack([result[k] for k in img_keys],
-                                 [result[k] for k in mask_keys]))
+        packed = pack([result[k] for k in img_keys],
+                      [result[k] for k in mask_keys])
+        other = [k for k, v in result.items()
+                 if isinstance(v, jnp.ndarray) and v.ndim == 3
+                 and k not in img_keys and k not in mask_keys]
+        for leaf in [packed] + [result[k] for k in other]:
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
+        return dict(result=result, packed=packed, img_keys=img_keys,
+                    mask_keys=mask_keys, other=other,
+                    dims=(out_h, out_w, true_h, true_w))
+
+    def _stitch_finalize(self, state: Dict) -> Dict[str, np.ndarray]:
+        """Materialize a _stitch_device state on the host: one packed-uint8
+        fetch split per key, cropped to the true canvas extent."""
+        result = state["result"]
+        img_keys, mask_keys = state["img_keys"], state["mask_keys"]
+        out_h, out_w, true_h, true_w = state["dims"]
+        np_result = dict(result)
+        packed = np.asarray(state["packed"])
         packed = packed[:true_h, :true_w].astype(np.float32)
         for i, k in enumerate(img_keys):
             np_result[k] = packed[..., 3 * i:3 * i + 3]
         off = 3 * len(img_keys)
         for j, k in enumerate(mask_keys):
             np_result[k] = packed[..., off + j:off + j + 1] / 255.0
-        other = [k for k, v in result.items()
-                 if isinstance(v, jnp.ndarray) and v.ndim == 3
-                 and k not in img_keys and k not in mask_keys]
+        other = state["other"]
         for k, arr in zip(other, jax.device_get([result[k] for k in other])
                           if other else []):
             if arr.shape[:2] == (out_h, out_w):
