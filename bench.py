@@ -41,7 +41,7 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
     # pipelined sweep throughput: stitch_many overlaps pair k's output
     # transfer with pair k+1's device stages — the sweep rate out.py
     # achieves, and long enough to average out relay latency spikes
-    iters = 9
+    iters = 15
     t0 = time.perf_counter()
     n = sum(1 for _ in stitcher.stitch_many([(img1, img2)] * iters))
     dt = time.perf_counter() - t0
@@ -61,7 +61,7 @@ def main():
     backend = jax.default_backend()
     B, S = 4, 512  # batched serving point; eval protocol itself uses batch 12
 
-    flow_model = FlowFormer(FlowFormerConfig())
+    flow_model = FlowFormer(FlowFormerConfig(upsample_all=False))
     homo_model = UDIS2HomographyNet()
 
     k = jax.random.PRNGKey(0)

@@ -30,7 +30,7 @@ from ..ops.flow import convex_upsample_flow_b
 from ..ops.grid import coords_grid
 from ..ops.sampling import bilinear_sampler
 from .layers import (Mlp, TokenFfn, linear_position_embedding_sine,
-                     multi_head_attention)
+                     multi_head_attention, tiny_token_attention)
 from .twins import TwinsBlockRPEContext, TwinsSVT
 
 
@@ -53,6 +53,12 @@ class FlowFormerConfig:
     use_rpe: bool = False
     lookup_radius: int = 4
     vertical_encoder_attn: str = "twins"   # 'twins' | 'NA' (reference NA.py)
+    # Training needs all 12 convex-upsampled predictions (sequence loss);
+    # inference consumes only the last, but the upsample sits inside the
+    # scan where XLA cannot dead-code a per-iteration slice — False moves
+    # the single upsample after the loop (reference semantics unchanged:
+    # its intermediate predictions are unused at test time).
+    upsample_all: bool = True
 
 
 class CostMapPatchEmbed(nn.Module):
@@ -98,7 +104,7 @@ class LatentCrossAttention(nn.Module):
         v = nn.Dense(D, name="v")(tgt)
         if q.shape[0] == 1 and tgt.shape[0] != 1:
             q = jnp.broadcast_to(q, (tgt.shape[0],) + q.shape[1:])
-        x = multi_head_attention(q, k, v, heads=8)
+        x = tiny_token_attention(q, k, v, heads=8)
         x = nn.Dense(D, name="proj")(x)
         x = short_cut + x
         x = x + TokenFfn(D, name="ffn")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
@@ -118,7 +124,7 @@ class LatentSelfAttention(nn.Module):
         q = nn.Dense(D, name="q")(y)
         k = nn.Dense(D, name="k")(y)
         v = nn.Dense(D, name="v")(y)
-        y = multi_head_attention(q, k, v, heads=8)
+        y = tiny_token_attention(q, k, v, heads=8)
         y = nn.Dense(D, name="proj")(y)
         x = short_cut + y
         x = x + TokenFfn(D, name="ffn")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
@@ -135,13 +141,14 @@ class VerticalSelfAttention(nn.Module):
     def __call__(self, x, context):  # x (B*K, H1, W1, D); context (B, H1, W1, 256)
         c = self.cfg
         K = c.cost_latent_token_num
-        ctx = jnp.repeat(context, x.shape[0] // context.shape[0], axis=0)
+        # pass the unrepeated context: the blocks project it at B and
+        # broadcast the small 64-ch result to B*K themselves
         x = TwinsBlockRPEContext(c.cost_latent_dim, 8, ws=7, sr_ratio=4,
                                  vert_c_dim=c.vert_c_dim,
-                                 name="local_block")(x, ctx)
+                                 name="local_block")(x, context)
         x = TwinsBlockRPEContext(c.cost_latent_dim, 8, ws=1, sr_ratio=4,
                                  vert_c_dim=c.vert_c_dim,
-                                 name="global_block")(x, ctx)
+                                 name="global_block")(x, context)
         return x
 
 
@@ -439,7 +446,7 @@ class DecoderIteration(nn.Module):
     @nn.compact
     def __call__(self, carry, consts):
         c = self.cfg
-        net, coords1 = carry
+        net, coords1, _ = carry
         inp, attention, cost_maps, key, value, coords0 = consts
         B, H1, W1, _ = coords1.shape
 
@@ -464,8 +471,11 @@ class DecoderIteration(nn.Module):
         net, up_mask, delta_flow = GMAUpdateBlock(c, name="update_block")(
             net, inp, corr, flow, attention)
         coords1 = coords1 + delta_flow
-        flow_up = convex_upsample_flow_b(coords1 - coords0, up_mask)
-        return (net, coords1), flow_up
+        if c.upsample_all:
+            y = convex_upsample_flow_b(coords1 - coords0, up_mask)
+        else:
+            y = jnp.zeros((), coords1.dtype)
+        return (net, coords1, up_mask), y
 
 
 class MemoryDecoder(nn.Module):
@@ -501,9 +511,14 @@ class MemoryDecoder(nn.Module):
                        in_axes=nn.broadcast, out_axes=0,
                        length=c.decoder_depth)
         consts = (inp, attention, cost_maps, key, value, coords0)
-        (net, coords1), flows = scan(c, name="iteration")((net, coords0),
-                                                          consts)
-        flow_predictions = [flows[i] for i in range(c.decoder_depth)]
+        up_mask0 = jnp.zeros((B, H1, W1, 64 * 9), context.dtype)
+        (net, coords1, up_mask), flows = scan(c, name="iteration")(
+            (net, coords0, up_mask0), consts)
+        if c.upsample_all:
+            flow_predictions = [flows[i] for i in range(c.decoder_depth)]
+        else:
+            flow_predictions = [convex_upsample_flow_b(coords1 - coords0,
+                                                       up_mask)]
         return flow_predictions, coords1 - coords0
 
 

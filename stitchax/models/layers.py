@@ -39,6 +39,30 @@ def exp_position_embedding_sine(x: jnp.ndarray, dim: int = 128,
         [jnp.sin(fx), jnp.cos(fx), jnp.sin(fy), jnp.cos(fy)], axis=-1)
 
 
+def tiny_token_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         heads: int) -> jnp.ndarray:
+    """multi_head_attention math lowered as broadcast-multiply + reduce.
+
+    For tiny token counts on huge batches (the perceiver's K=8 latents over
+    32768 per-pixel batches), the einsum form lowers to per-batch
+    (T,16)x(16,T) MXU dispatches that strand the systolic array; putting the
+    d=16 contraction on the VPU instead runs 12.8 -> 4.8 ms for latent
+    self-attention and 21 -> 14 ms for the 8->64 input cross-attention at
+    the bench operating point (tools/exp_tiny_attn.py). Bit-for-bit the
+    same math up to float reassociation."""
+    P, Tq, C = q.shape
+    Tk = k.shape[1]
+    d = C // heads
+    scale = d ** -0.5
+    qh = q.reshape(P, Tq, 1, heads, d)
+    kh = k.reshape(P, 1, Tk, heads, d)
+    vh = v.reshape(P, 1, Tk, heads, d)
+    logits = (qh * kh).sum(-1) * scale          # (P, Tq, Tk, heads)
+    attn = jax.nn.softmax(logits, axis=2)
+    out = (attn[..., None] * vh).sum(2)         # (P, Tq, heads, d)
+    return out.reshape(P, Tq, C)
+
+
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          heads: int) -> jnp.ndarray:
     """Plain softmax attention on (B, N, C) tokens with the reference's scale

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas.gsa_attention import gsa_attention
 from ..ops.pallas.window_attention import (window_attention_pallas,
                                            window_attention_ref)
 from .layers import (Mlp, linear_position_embedding_sine, pad_to_multiple,
@@ -100,14 +101,8 @@ class GlobalSubSampleAttn(nn.Module):
         kv = nn.Dense(self.dim * 2, name="kv")(xs)
         kv = kv.reshape(B, -1, 2 * C)
         k, v = jnp.split(kv, 2, axis=-1)
-        d = self.dim // self.num_heads
-        scale = d ** -0.5
-        qh = q.reshape(B, -1, self.num_heads, d).transpose(0, 2, 1, 3)
-        kh = k.reshape(B, -1, self.num_heads, d).transpose(0, 2, 1, 3)
-        vh = v.reshape(B, -1, self.num_heads, d).transpose(0, 2, 1, 3)
-        attn = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", qh, kh) * scale, -1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
+        out = gsa_attention(q, k, v, heads=self.num_heads)
+        out = out.reshape(B, H, W, C)
         out = nn.Dense(self.dim, name="proj")(out)
         return out
 
@@ -192,7 +187,13 @@ class LocallyGroupedAttnRPEContext(nn.Module):
     def __call__(self, x, context):  # x (B, H, W, C), context (B, H, W, Cc)
         B, H, W, C = x.shape
         Cqk = C + self.vert_c_dim
+        # context may arrive unrepeated (B) for a (B*K) x: project the
+        # 256-ch map once, then broadcast the 64-ch result — Dense is
+        # pointwise, so Dense(repeat(ctx)) == repeat(Dense(ctx)) exactly,
+        # at 1/K the projection FLOPs and 1/4 the repeat traffic
         ctx = nn.Dense(self.vert_c_dim, name="context_proj")(context)
+        if ctx.shape[0] != x.shape[0]:
+            ctx = jnp.repeat(ctx, x.shape[0] // ctx.shape[0], axis=0)
         x_qk = jnp.concatenate([x, ctx], axis=-1)
 
         # window-local coordinate embedding (coords_grid of the window)
@@ -248,7 +249,13 @@ class GlobalSubSampleAttnRPEContext(nn.Module):
     def __call__(self, x, context):  # (B, H, W, C), (B, H, W, Cc)
         B, H, W, C = x.shape
         Cqk = C + self.vert_c_dim
+        # context may arrive unrepeated (B) for a (B*K) x: project the
+        # 256-ch map once, then broadcast the 64-ch result — Dense is
+        # pointwise, so Dense(repeat(ctx)) == repeat(Dense(ctx)) exactly,
+        # at 1/K the projection FLOPs and 1/4 the repeat traffic
         ctx = nn.Dense(self.vert_c_dim, name="context_proj")(context)
+        if ctx.shape[0] != x.shape[0]:
+            ctx = jnp.repeat(ctx, x.shape[0] // ctx.shape[0], axis=0)
         x_qk = jnp.concatenate([x, ctx], axis=-1)
         x, (h0, w0) = pad_to_multiple(x, self.sr_ratio)
         x_qk, _ = pad_to_multiple(x_qk, self.sr_ratio)
@@ -281,18 +288,11 @@ class GlobalSubSampleAttnRPEContext(nn.Module):
         k = nn.Dense(self.dim, name="k")(xk + enc_k[None])
         v = nn.Dense(self.dim, name="v")(xv)
 
-        d = self.dim // self.num_heads
-        scale = d ** -0.5
-
-        def heads(t, n):
-            return t.reshape(B, n, self.num_heads, d).transpose(0, 2, 1, 3)
-
-        qh = heads(q.reshape(B, Hp * Wp, C), Hp * Wp)
-        kh = heads(k.reshape(B, hs * ws_, C), hs * ws_)
-        vh = heads(v.reshape(B, hs * ws_, C), hs * ws_)
-        attn = jax.nn.softmax(jnp.einsum("bhid,bhjd->bhij", qh, kh) * scale, -1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Hp, Wp, C)[:, :h0, :w0]
+        out = gsa_attention(q.reshape(B, Hp * Wp, C),
+                            k.reshape(B, hs * ws_, C),
+                            v.reshape(B, hs * ws_, C),
+                            heads=self.num_heads)
+        out = out.reshape(B, Hp, Wp, C)[:, :h0, :w0]
         return nn.Dense(self.dim, name="proj")(out)
 
 

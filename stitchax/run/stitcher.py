@@ -85,7 +85,9 @@ class StitchModels:
               init_size: int = 512):
         k = jax.random.PRNGKey(rng_seed)
         img = jnp.zeros((1, init_size, init_size, 3), jnp.float32)
-        ff_cfg = FlowFormerConfig()
+        # inference consumes only the final prediction — skip the other 11
+        # in-scan convex upsamples (param tree unchanged)
+        ff_cfg = FlowFormerConfig(upsample_all=False)
         flow_model = FlowFormer(ff_cfg)
         homo_model = UDIS2HomographyNet()
         # jit the inits: eager init dispatches thousands of tiny ops, which
@@ -334,20 +336,22 @@ class Stitcher:
         images cropped to the true canvas."""
         return self._stitch_finalize(self._stitch_device(img1, img2))
 
-    def stitch_many(self, pairs):
+    def stitch_many(self, pairs, depth: int = 2):
         """Pipelined stitch over an iterable of (img1, img2): pair k's
-        packed output streams to the host (copy_to_host_async) while pair
-        k+1's device stages run, overlapping the relay transfer with the
-        compute instead of serializing them. Yields one result dict per
-        pair, in order."""
-        prev = None
+        packed output streams to the host (copy_to_host_async) while the
+        next pairs' device stages run, overlapping the relay transfer with
+        the compute instead of serializing them. `depth` pairs stay in
+        flight (transfer jitter on the relay is ±50%, so one pair of
+        lookahead is not always enough to keep the link busy). Yields one
+        result dict per pair, in order."""
+        from collections import deque
+        pending = deque()
         for img1, img2 in pairs:
-            state = self._stitch_device(img1, img2)
-            if prev is not None:
-                yield self._stitch_finalize(prev)
-            prev = state
-        if prev is not None:
-            yield self._stitch_finalize(prev)
+            pending.append(self._stitch_device(img1, img2))
+            if len(pending) > depth:
+                yield self._stitch_finalize(pending.popleft())
+        while pending:
+            yield self._stitch_finalize(pending.popleft())
 
     def _stitch_device(self, img1: np.ndarray, img2: np.ndarray) -> Dict:
         """Dispatch all device stages for one pair and start the output

@@ -165,3 +165,19 @@ class TestWindowAttention:
         want = dense(out, "proj")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5)
+
+
+class TestGSAAttention:
+    @pytest.mark.parametrize("B,N,M,C,heads,tile",
+                             [(2, 100, 16, 32, 4, 64),   # pad + 2 tiles
+                              (1, 64, 9, 16, 2, 64)])
+    def test_matches_oracle(self, rng, B, N, M, C, heads, tile):
+        from stitchax.ops.pallas.gsa_attention import (gsa_attention_pallas,
+                                                       gsa_attention_ref)
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        q, k, v = mk(B, N, C), mk(B, M, C), mk(B, M, C)
+        ref = gsa_attention_ref(q, k, v, heads=heads)
+        got = gsa_attention_pallas(q, k, v, heads=heads, tile=tile,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)

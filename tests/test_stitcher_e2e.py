@@ -89,6 +89,37 @@ class TestStitcherE2E:
         # seamless blend over the whole true canvas core
         assert err_at(out["ave_fusion"], np.s_[8:W + shift - 8], 8) < 6.0
 
+    def test_stitch_many_matches_stitch(self, rng):
+        """The pipelined generator must yield, in order, exactly what the
+        one-shot path produces."""
+        H, W, shift = 128, 160, 24
+        img1, img2, _ = make_pair(rng, H, W, shift)
+        img1b, img2b, _ = make_pair(rng, H, W, 16)
+        S = 512
+
+        def homo_fn(a, b):
+            dx = -shift * (S / W)
+            off = jnp.array([[dx, 0, dx, 0, dx, 0, dx, 0]], jnp.float32)
+            return jnp.broadcast_to(off, (a.shape[0], 8))
+
+        def flow_fn(a, b):
+            zero = jnp.zeros(a.shape[:3] + (2,), a.dtype)
+            return [zero], zero[:, ::8, ::8]
+
+        st = Stitcher(None, _Cfg(swap_image=False),
+                      AlignConfig(use_fb_consistency_mask=False,
+                                  canvas_bucket=64),
+                      TPSConfig(grid_h=8, grid_w=8),
+                      inpainter_name="cv_inpainter",
+                      homo_fn=homo_fn, flow_fn=flow_fn)
+        one = [st.stitch(img1, img2), st.stitch(img1b, img2b)]
+        many = list(st.stitch_many([(img1, img2), (img1b, img2b)]))
+        assert len(many) == 2
+        for a, b in zip(one, many):
+            assert a["out_w"] == b["out_w"] and a["out_h"] == b["out_h"]
+            np.testing.assert_allclose(a["ave_fusion"], b["ave_fusion"],
+                                       atol=1e-5)
+
     def test_diagonal_pair(self, rng):
         """Both canvas axes must expand: img2 is shifted right AND down, so
         height_min/height_max and the vertical render path get exercised

@@ -40,7 +40,7 @@ def main():
                                  UDIS2HomographyNet)
     from stitchax.utils.precision import bf16_call
 
-    ff = FlowFormer(FlowFormerConfig())
+    ff = FlowFormer(FlowFormerConfig(upsample_all=False))
     homo = UDIS2HomographyNet()
     k = jax.random.PRNGKey(0)
     img = jnp.zeros((1, S, S, 3), jnp.float32)

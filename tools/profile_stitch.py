@@ -25,7 +25,7 @@ def main():
     from stitchax.run.stitcher import StitchModels, Stitcher, load_image
     from stitchax.tps.pipeline import TPSConfig
 
-    ff = FlowFormer(FlowFormerConfig())
+    ff = FlowFormer(FlowFormerConfig(upsample_all=False))
     homo = UDIS2HomographyNet()
     k = jax.random.PRNGKey(0)
     img0 = jnp.zeros((1, 512, 512, 3), jnp.float32)
