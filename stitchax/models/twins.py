@@ -52,7 +52,14 @@ class PosConv(nn.Module):
 
 
 class LocallyGroupedAttn(nn.Module):
-    """LSA: windowed self-attention, fused qkv (timm twins parity)."""
+    """LSA: windowed self-attention, fused qkv (timm twins parity).
+
+    Same bias-decomposition as the RPE-context variant: the fused qkv
+    projection runs on the unpadded NHWC map, and zero-padded window
+    tokens reduce exactly to the qkv biases (timm pads the token map with
+    zeros BEFORE the projection), so the shared window-attention core
+    reproduces the padded semantics without materializing dense-on-window
+    layouts."""
     dim: int
     num_heads: int
     ws: int = 7
@@ -60,25 +67,17 @@ class LocallyGroupedAttn(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
         B, H, W, C = x.shape
-        x, (h0, w0) = pad_to_multiple(x, self.ws)
-        Hp, Wp = x.shape[1], x.shape[2]
-        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
-        qkv = window_partition(qkv, self.ws)  # (B, nW, ws*ws, 3C)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        d = self.dim // self.num_heads
-        scale = d ** -0.5
-
-        def split_heads(t):
-            Bn, Nw, T, _ = t.shape
-            return t.reshape(Bn, Nw, T, self.num_heads, d).transpose(0, 1, 3, 2, 4)
-
-        qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-        attn = jax.nn.softmax(jnp.einsum("bnhid,bnhjd->bnhij", qh, kh) * scale, -1)
-        out = jnp.einsum("bnhij,bnhjd->bnhid", attn, vh)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(B, -1, self.ws * self.ws, C)
-        out = window_merge(out, self.ws, Hp, Wp)[:, :h0, :w0]
-        out = nn.Dense(self.dim, name="proj")(out)
-        return out
+        qkv_d = nn.Dense(self.dim * 3, name="qkv")
+        b = qkv_d(jnp.zeros((1, C), x.dtype))          # (1, 3C) = bias
+        qkv = qkv_d(x) - b
+        qx, kx, vx = jnp.split(qkv, 3, axis=-1)
+        bq, bk, bv = jnp.split(b, 3, axis=-1)          # (1, C) each
+        T = self.ws * self.ws
+        q_bias = jnp.broadcast_to(bq, (T, self.dim))
+        k_bias = jnp.broadcast_to(bk, (T, self.dim))
+        out = window_attention_ref(qx, kx, vx, q_bias, k_bias, bv,
+                                   heads=self.num_heads, ws=self.ws)
+        return nn.Dense(self.dim, name="proj")(out)
 
 
 class GlobalSubSampleAttn(nn.Module):

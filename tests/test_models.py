@@ -81,3 +81,4 @@ class TestBidirectional:
                                    np.asarray(fwd_ref[-1]), atol=2e-3)
         np.testing.assert_allclose(np.asarray(bwd[-1]),
                                    np.asarray(bwd_ref[-1]), atol=2e-3)
+
