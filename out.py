@@ -90,7 +90,7 @@ def main():
                         input_bucket=input_bucket)
 
     pairs = load_pair_list(args.data_root_path, args.txt_file)
-    error_list = []  # per-pair failure manifest (SURVEY.md §5 rebuild item)
+    jobs = []
     for data_dict in pairs:
         rel = os.path.relpath(data_dict["DATA_PATH"], args.data_root_path)
         result_path = os.path.join(save_root, rel)
@@ -99,12 +99,19 @@ def main():
                                                 "ave_fusion.jpg"))):
             logger.info(f"skip {rel} (ave_fusion exists)")
             continue
-        try:
-            logger.info(f"stitching {rel}")
-            stitcher.stitch_and_save(data_dict, result_path)
-        except Exception as e:  # idempotent sweep: record and continue
-            traceback.print_exc()
-            error_list.append({"pair": rel, "error": repr(e)})
+        logger.info(f"queueing {rel}")
+        jobs.append((data_dict, result_path))
+
+    # pipelined sweep: pair k's output transfer + file writes overlap pair
+    # k+1's device stages; per-pair failures are recorded, not fatal
+    error_list = []  # per-pair failure manifest (SURVEY.md §5 rebuild item)
+    for result_path, err in stitcher.stitch_and_save_many(jobs):
+        rel = os.path.relpath(result_path, save_root)
+        if err is None:
+            logger.info(f"stitched {rel}")
+        else:
+            traceback.print_exception(type(err), err, err.__traceback__)
+            error_list.append({"pair": rel, "error": repr(err)})
 
     if error_list:
         import json

@@ -492,10 +492,7 @@ class Stitcher:
             np_result[k] = arr
         return np_result
 
-    def stitch_and_save(self, data_dict: Dict[str, str], result_path: str):
-        """One pair end to end, writing the reference's output files
-        (reference: out.py:266-308)."""
-        os.makedirs(result_path, exist_ok=True)
+    def _load_pair(self, data_dict: Dict[str, str]):
         img1 = load_image(os.path.join(data_dict["DATA_PATH"],
                                        data_dict["IMG1"]))
         img2 = load_image(os.path.join(data_dict["DATA_PATH"],
@@ -508,8 +505,52 @@ class Stitcher:
             img1, img2 = rs(img1), rs(img2)
         if getattr(self.cfg, "swap_image", False):
             img1, img2 = img2, img1
-        out = self.stitch(img1, img2)
+        return img1, img2
 
+    def stitch_and_save_many(self, jobs):
+        """Pipelined sweep: jobs is an iterable of (data_dict, result_path).
+        Pair k's output transfer + JPEG writes overlap pair k+1's device
+        stages (same scheme as stitch_many); one pair's failure is recorded
+        and does not stop the sweep. Returns [(result_path, error|None)]."""
+        from collections import deque
+        pending: deque = deque()
+        results = []
+
+        def finalize(item):
+            state, rp, img1, img2, err = item
+            if err is None:
+                try:
+                    out = self._stitch_finalize(state)
+                    self._save_outputs(out, img1, img2, rp)
+                except Exception as e:      # noqa: BLE001 — sweep resume
+                    err = e
+            results.append((rp, err))
+
+        for data_dict, result_path in jobs:
+            try:
+                img1, img2 = self._load_pair(data_dict)
+                state = self._stitch_device(img1, img2)
+                item = (state, result_path, img1, img2, None)
+            except Exception as e:          # noqa: BLE001 — sweep resume
+                item = (None, result_path, None, None, e)
+            pending.append(item)
+            if len(pending) > 2:
+                finalize(pending.popleft())
+        while pending:
+            finalize(pending.popleft())
+        return results
+
+    def stitch_and_save(self, data_dict: Dict[str, str], result_path: str):
+        """One pair end to end, writing the reference's output files
+        (reference: out.py:266-308)."""
+        img1, img2 = self._load_pair(data_dict)
+        out = self.stitch(img1, img2)
+        self._save_outputs(out, img1, img2, result_path)
+        return out
+
+    def _save_outputs(self, out: Dict[str, np.ndarray], img1, img2,
+                      result_path: str):
+        os.makedirs(result_path, exist_ok=True)
         save_image(os.path.join(result_path, "input1.jpg"), img1)
         save_image(os.path.join(result_path, "input2.jpg"), img2)
         save_image(os.path.join(result_path, "H_warp.jpg"), out["H_warp"])
