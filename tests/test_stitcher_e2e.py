@@ -120,6 +120,33 @@ class TestStitcherE2E:
             np.testing.assert_allclose(a["ave_fusion"], b["ave_fusion"],
                                        atol=1e-5)
 
+    def test_stitch_deterministic(self, rng):
+        """Two stitches of the same pair must be bit-identical (the whole
+        pipeline is jitted with no RNG on the inference path — the TPU
+        analog of the reference pinning seeds at entry, out.py:7-8)."""
+        img1, img2, _ = make_pair(rng, 128, 160, 24)
+        S = 512
+
+        def homo_fn(a, b):
+            dx = -24 * (S / 160)
+            off = jnp.array([[dx, 0, dx, 0, dx, 0, dx, 0]], jnp.float32)
+            return jnp.broadcast_to(off, (a.shape[0], 8))
+
+        def flow_fn(a, b):
+            zero = jnp.zeros(a.shape[:3] + (2,), a.dtype)
+            return [zero], zero[:, ::8, ::8]
+
+        st = Stitcher(None, _Cfg(swap_image=False),
+                      AlignConfig(use_fb_consistency_mask=False,
+                                  canvas_bucket=64),
+                      TPSConfig(grid_h=8, grid_w=8),
+                      inpainter_name="cv_inpainter",
+                      homo_fn=homo_fn, flow_fn=flow_fn)
+        a = st.stitch(img1, img2)
+        b = st.stitch(img1, img2)
+        for k in ("ave_fusion", "warp1", "warp2", "mask1", "mask2"):
+            np.testing.assert_array_equal(a[k], b[k])
+
     def test_diagonal_pair(self, rng):
         """Both canvas axes must expand: img2 is shifted right AND down, so
         height_min/height_max and the vertical render path get exercised
