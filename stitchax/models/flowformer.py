@@ -30,7 +30,8 @@ from ..ops.flow import convex_upsample_flow_b
 from ..ops.grid import coords_grid
 from ..ops.sampling import bilinear_sampler
 from .layers import (Mlp, TokenFfn, linear_position_embedding_sine,
-                     multi_head_attention, tiny_token_attention)
+                     multi_head_attention, stacked_token_attention,
+                     tiny_token_attention)
 from .twins import TwinsBlockRPEContext, TwinsSVT
 
 
@@ -107,7 +108,9 @@ class LatentCrossAttention(nn.Module):
         v = nn.Dense(D, name="v")(tgt)
         if q.shape[0] == 1 and tgt.shape[0] != 1:
             q = jnp.broadcast_to(q, (tgt.shape[0],) + q.shape[1:])
-        x = tiny_token_attention(q, k, v, heads=8)
+        # Tk=64 patches: the head-stack matmul form wins over the VPU
+        # mult-reduce here (tools/exp_cross_attn.py)
+        x = stacked_token_attention(q, k, v, heads=8)
         x = nn.Dense(D, name="proj")(x)
         x = short_cut + x
         x = x + TokenFfn(D, name="ffn")(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))

@@ -63,6 +63,36 @@ def tiny_token_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(P, Tq, C)
 
 
+def stacked_token_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            heads: int) -> jnp.ndarray:
+    """multi_head_attention math with thin heads lifted to full channel
+    width: each head's queries become a channel-masked copy of the
+    full-width rows, so logits and outputs are two (h·Tq, C)-vs-(Tk, C)
+    batched matmuls with a 128-wide MXU contraction, and the disjoint
+    masks make the head fold exact. Wins over the VPU mult-reduce form
+    once Tk is large enough to dominate the elementwise product (measured
+    at the perceiver input layer, Tq=8 Tk=64: 14.6 -> 9.5 ms,
+    tools/exp_cross_attn.py)."""
+    P, Tq, C = q.shape
+    Tk = k.shape[1]
+    d = C // heads
+    scale = d ** -0.5
+    ch = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, C), 2)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, C), 0)
+    hmask = (ch // d == hid).astype(q.dtype)       # (h, 1, C)
+    qs = (q[:, None] * hmask[None]).reshape(P, heads * Tq, C) * scale
+    logits = jax.lax.dot_general(
+        qs, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (P, h·Tq, Tk)
+    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out_stack = jax.lax.dot_general(
+        attn, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (P, h·Tq, C)
+    hm4 = hmask.reshape(1, heads, 1, C).astype(jnp.float32)
+    out = (out_stack.reshape(P, heads, Tq, C) * hm4).sum(1)
+    return out.astype(q.dtype)
+
+
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          heads: int) -> jnp.ndarray:
     """Plain softmax attention on (B, N, C) tokens with the reference's scale

@@ -49,12 +49,20 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int):
 
 
 def gsa_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
-                         heads: int, tile: int = 2048,
+                         heads: int, tile: int = 0,
                          interpret: bool = False) -> jnp.ndarray:
     """q (B, N, C), k/v (B, M, C) -> (B, N, C) multi-head attention with
-    the reference scale convention ((C/heads)^-0.5 on the logits)."""
+    the reference scale convention ((C/heads)^-0.5 on the logits).
+
+    tile=0 picks the largest token tile that fits VMEM: double-buffered
+    in/out blocks (4 streams at the input dtype) plus the kernel's fp32
+    q/qs/vs/out temps, against a conservative ~8 MB budget (the fp32
+    C=256 eval config overflowed the 16 MB scoped limit at tile 2048)."""
     B, N, C = q.shape
     M = k.shape[1]
+    if tile <= 0:
+        bytes_per_row = C * (8 * q.dtype.itemsize + 16)
+        tile = max(256, min(2048, (8 * 2 ** 20 // bytes_per_row) // 256 * 256))
     t = min(tile, N)
     pad = (-N) % t
     if pad:
