@@ -78,7 +78,15 @@ def _kernel_batched(qx_ref, kx_ref, vx_ref, qb_ref, kb_ref, vb_ref, out_ref,
     """Multi-strip variant: same per-window math as `_kernel` but one
     program covers `n_strips` window rows, amortizing per-program overhead
     (640 -> 64 grid steps at the 512² operating point). The window loop is
-    a fori_loop so compile size stays O(1) in the window count."""
+    a fori_loop so compile size stays O(1) in the window count.
+
+    STATUS: works in interpret mode (parity-tested) but does NOT compile
+    on the current Mosaic — dynamic window slices at ws=7 offsets hit
+    "cannot statically prove that index is a multiple of 8" (the window
+    geometry conflicts with 8-sublane tiling for dynamic vector loads),
+    and fully unrolling 100 windows OOMs the compiler. This is why the
+    XLA formulation stays the production default (see
+    LocallyGroupedAttnRPEContext's dispatch comment)."""
     C = qx_ref.shape[-1]
     d = C // heads
     T = ws * ws
