@@ -82,8 +82,10 @@ def main():
                                 use_composition=cfg.get("use_composition",
                                                         True))
     # args are merged into cfg by build_out_config, so an unset CLI flag
-    # shows up as an explicit None — `or` chains past it
-    input_bucket = args.input_bucket or cfg.get("input_bucket") or 0
+    # shows up as an explicit None; an explicit --input_bucket 0 must still
+    # win over a config default (0 = stitch at native resolution)
+    b = args.input_bucket
+    input_bucket = b if b is not None else (cfg.get("input_bucket") or 0)
     stitcher = Stitcher(models, cfg, align_cfg, tps_cfg,
                         inpainter_name=tps_c.inpainter,
                         mix_method=tps_c.mix_method,

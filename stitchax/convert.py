@@ -303,27 +303,12 @@ def _rpe_context_block(sd, p, is_global: bool):
     }
 
 
-def convert_flowformer(sd: Mapping[str, Any], encoder_depth: int = 3
-                       ) -> Dict[str, Any]:
-    """FlowFormer (PerCostFormer3) state dict -> stitchax FlowFormer params.
-
-    Accepts either a bare FlowFormer state dict (things_288960.pth-style) or
-    the fused FlowHomoAdpater ckpt's `flow_backbone.` subtree (final_ckpt,
-    reference: out.py:72-87). Key map derived from
-    core/FlowFormer/PerCostFormer3/{transformer,encoder,decoder,gru,gma}.py.
-    """
-    sd = strip_module_prefix(sd)
-    if any(k.startswith("flow_backbone.") for k in sd):
-        sd = {k[len("flow_backbone."):]: v for k, v in sd.items()
-              if k.startswith("flow_backbone.")}
-
-    params: Dict[str, Any] = {}
-    params["context_encoder"] = convert_twins_svt(sd, "context_encoder")
-
-    me: Dict[str, Any] = {}
-    me["feat_encoder"] = convert_twins_svt(sd, "memory_encoder.feat_encoder")
-
-    cpe = "memory_encoder.cost_perceiver_encoder"
+def convert_cost_perceiver(sd: Mapping[str, Any], cpe: str,
+                           encoder_depth: int = 3) -> Dict[str, Any]:
+    """CostPerceiverEncoder subtree (reference: encoder.py:174-287):
+    patch_embed ('single' ModuleList conv/relu/conv/relu/conv at .0/.2/.4,
+    ffn_with_coord Sequential at .0/.2), latent tokens, input cross-attn,
+    encoder_depth x (self-attn + vertical twins RPE-context pair)."""
     cp: Dict[str, Any] = {
         "latent_tokens": _np(sd[f"{cpe}.latent_tokens"]),
         "patch_embed": {
@@ -344,7 +329,31 @@ def convert_flowformer(sd: Mapping[str, Any], encoder_depth: int = 3
             "local_block": _rpe_context_block(sd, f"{v}.local_block", False),
             "global_block": _rpe_context_block(sd, f"{v}.global_block", True),
         }
-    me["cost_perceiver"] = cp
+    return cp
+
+
+def convert_flowformer(sd: Mapping[str, Any], encoder_depth: int = 3
+                       ) -> Dict[str, Any]:
+    """FlowFormer (PerCostFormer3) state dict -> stitchax FlowFormer params.
+
+    Accepts either a bare FlowFormer state dict (things_288960.pth-style) or
+    the fused FlowHomoAdpater ckpt's `flow_backbone.` subtree (final_ckpt,
+    reference: out.py:72-87). Key map derived from
+    core/FlowFormer/PerCostFormer3/{transformer,encoder,decoder,gru,gma}.py.
+    """
+    sd = strip_module_prefix(sd)
+    if any(k.startswith("flow_backbone.") for k in sd):
+        sd = {k[len("flow_backbone."):]: v for k, v in sd.items()
+              if k.startswith("flow_backbone.")}
+
+    params: Dict[str, Any] = {}
+    params["context_encoder"] = convert_twins_svt(sd, "context_encoder")
+
+    me: Dict[str, Any] = {}
+    me["feat_encoder"] = convert_twins_svt(sd, "memory_encoder.feat_encoder")
+
+    me["cost_perceiver"] = convert_cost_perceiver(
+        sd, "memory_encoder.cost_perceiver_encoder", encoder_depth)
     params["memory_encoder"] = me
 
     md = "memory_decoder"

@@ -30,8 +30,8 @@ from ..ops.flow import convex_upsample_flow_b
 from ..ops.grid import coords_grid
 from ..ops.sampling import bilinear_sampler
 from .layers import (Mlp, TokenFfn, linear_position_embedding_sine,
-                     multi_head_attention, stacked_token_attention,
-                     tiny_token_attention)
+                     multi_head_attention, pad_to_multiple,
+                     stacked_token_attention, tiny_token_attention)
 from .twins import TwinsBlockRPEContext, TwinsSVT
 
 
@@ -69,14 +69,20 @@ class CostMapPatchEmbed(nn.Module):
     cfg: FlowFormerConfig
 
     @nn.compact
-    def __call__(self, cost_maps):  # (B*, H2, W2, heads)
+    def __call__(self, cost_maps, masks=None):  # (B*, H2, W2, heads)
         dim = self.cfg.cost_latent_input_dim
-        x = cost_maps
+        p = self.cfg.patch_size
+        # right/bottom pad to a patch multiple (reference: encoder.py:63-66)
+        x, _ = pad_to_multiple(cost_maps, p)
         # kernel 6 stride 2 pad 2 three times (patch_size 8); a
         # polyphase (space-to-depth + 3x3) reformulation was measured
         # SLOWER here (29.8 -> 40.2 ms at the bench shape): the s2d
         # materialization outweighs the 4x-wider contraction
         for i, d in enumerate([dim // 4, dim // 2, dim]):
+            # MAE pretrain zeroes masked tokens before each conv
+            # (reference: encoder.py:68-73)
+            if masks is not None and masks[i] is not None:
+                x = x * (1.0 - masks[i])
             x = nn.Conv(d, (6, 6), strides=(2, 2), padding=((2, 2), (2, 2)),
                         name=f"proj{i}")(x)
             if i < 2:

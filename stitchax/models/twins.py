@@ -163,6 +163,16 @@ class TwinsSVT(nn.Module):
 # RPE + context variants used by the cost encoder's vertical attention
 # (reference: twins.py:229-392; instantiated at encoder.py:99-125 with
 #  vert_c_dim=64, encoder_latent_dim=256, num_heads=8, ws=7, sr_ratio=4).
+#
+# Context pairing note: the reference expands the (B,...) context to the
+# (B*K,...) latent batch with torch `.repeat(B*K//B, 1, 1, 1)`
+# (twins.py:261,340), which TILES the batch — token (b, k) gets
+# context[(b*K + k) % B]. At the shipped training batch size 1
+# (configs/last_config.py `batch_size: 1`) this is identity, but at B>1 it
+# scrambles the context/sample pairing (a latent bug in the reference's
+# batched eval). We use the per-sample-correct `jnp.repeat` pairing —
+# identical to the reference at B=1, batch-size-invariant otherwise;
+# activation-parity tests therefore run the vertical stack at B=1.
 # ---------------------------------------------------------------------------
 
 

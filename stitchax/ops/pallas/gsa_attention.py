@@ -104,8 +104,31 @@ def gsa_attention_ref(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     return out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gsa_tpu(q, k, v, heads):
+    return gsa_attention_pallas(q, k, v, heads=heads)
+
+
+def _gsa_fwd(q, k, v, heads):
+    return gsa_attention_pallas(q, k, v, heads=heads), (q, k, v)
+
+
+def _gsa_bwd(heads, res, g):
+    # pallas_call has no derived VJP; differentiate the mathematically
+    # identical XLA oracle instead so jax.grad through the twins GSA
+    # blocks works on TPU (advisor finding r2)
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: gsa_attention_ref(q_, k_, v_, heads=heads),
+        q, k, v)
+    return vjp(g)
+
+
+_gsa_tpu.defvjp(_gsa_fwd, _gsa_bwd)
+
+
 def gsa_attention(q, k, v, *, heads):
-    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    """Dispatch: Pallas on TPU (XLA-oracle VJP), XLA elsewhere."""
     if jax.default_backend() == "tpu":
-        return gsa_attention_pallas(q, k, v, heads=heads)
+        return _gsa_tpu(q, k, v, heads)
     return gsa_attention_ref(q, k, v, heads=heads)

@@ -152,6 +152,14 @@ def window_attention_pallas(qx: jnp.ndarray, kx: jnp.ndarray, vx: jnp.ndarray,
 
     sb = max(s for s in range(1, min(block_strips, n_strips) + 1)
              if n_strips % s == 0)
+    if sb > 1 and not interpret:
+        # _kernel_batched does not compile on current Mosaic (dynamic ws=7
+        # slices fail the 8-sublane alignment proof) — only usable in
+        # interpret mode; fall back to the single-strip kernel on hardware
+        import warnings
+        warnings.warn("window_attention_pallas: block_strips>1 only "
+                      "compiles in interpret mode; falling back to 1")
+        sb = 1
     if sb == 1:
         kernel = functools.partial(_kernel, ws=ws, heads=heads, n_win=n_win)
     else:

@@ -441,8 +441,12 @@ class Stitcher:
             c = comp(o1, o2, m1, m2)
             result["composition"] = (
                 (c["stitched_image"][0] + 1.0) * 127.5)
-            result["learned_mask1"] = c["learned_mask1"][0] * 255.0
-            result["learned_mask2"] = c["learned_mask2"][0] * 255.0
+            # kept in [0,1]: the uint8 pack path classifies (H,W,1) arrays
+            # as masks and packs them via clip(m,0,1)*255, which would
+            # binarize a [0,255]-scaled soft mask at a 1/255 threshold;
+            # _save_outputs rescales to [0,255] at write time
+            result["learned_mask1"] = c["learned_mask1"][0]
+            result["learned_mask2"] = c["learned_mask2"][0]
 
         # Device->host is the per-pair bottleneck (~13 MB/s relay,
         # tools/exp_fetch.py): pack every canvas-resolution output into ONE
@@ -568,7 +572,7 @@ class Stitcher:
             save_image(os.path.join(result_path, "composition.jpg"),
                        out["composition"])
             save_image(os.path.join(result_path, "learned_mask1.jpg"),
-                       out["learned_mask1"])
+                       out["learned_mask1"] * 255.0)
             save_image(os.path.join(result_path, "learned_mask2.jpg"),
-                       out["learned_mask2"])
+                       out["learned_mask2"] * 255.0)
         return out
