@@ -386,6 +386,12 @@ def convert_flowformer(sd: Mapping[str, Any], encoder_depth: int = 3
             },
         },
     }
+    # MAE pretrain head (reference: decoder.py:166-180, gt_r>0 Sequential
+    # with convs at .0/.2/.4) — present in pretrain-era checkpoints only
+    if f"{md}.pretrain_head.0.weight" in sd:
+        dec["pretrain_head0"] = _convp(sd, f"{md}.pretrain_head.0")
+        dec["pretrain_head1"] = _convp(sd, f"{md}.pretrain_head.2")
+        dec["pretrain_head2"] = _convp(sd, f"{md}.pretrain_head.4")
     params["memory_decoder"] = dec
     return {"params": params}
 

@@ -24,18 +24,35 @@ import numpy as np
 
 class UDISDataset:
     def __init__(self, data_dir: str, phase: str = "training",
-                 is_test: Optional[bool] = None, size: Optional[Tuple[int, int]] = None):
+                 is_test: Optional[bool] = None,
+                 size: Optional[Tuple[int, int]] = None,
+                 return_depth: bool = False,
+                 clip_num_data: Optional[int] = None):
+        """return_depth loads {phase}/depth2/<name> as an extra 1-channel
+        map (channel-mean of the RGB depth render, reference:
+        core/datasets.py:330,353-368,437-448); clip_num_data truncates the
+        pair list (reference :371-374)."""
         self.phase = phase
         self.is_test = (phase == "testing") if is_test is None else is_test
         self.size = size  # optional fixed (H, W) resize for batching
+        self.return_depth = return_depth
         root = os.path.join(data_dir, phase)
         d1, d2 = os.path.join(root, "input1"), os.path.join(root, "input2")
+        dd = os.path.join(root, "depth2")
         if not os.path.isdir(d1):
             raise FileNotFoundError(f"no such dataset split: {d1}")
+        if return_depth and not os.path.isdir(dd):
+            raise FileNotFoundError(
+                f"return_depth=True but no depth2 directory at {dd}")
         names = sorted(os.listdir(d1))
         self.pairs: List[Tuple[str, str, str]] = [
             (os.path.join(d1, n), os.path.join(d2, n), n)
-            for n in names if os.path.exists(os.path.join(d2, n))]
+            for n in names
+            if os.path.exists(os.path.join(d2, n))
+            and (not return_depth or os.path.exists(os.path.join(dd, n)))]
+        self.depth_dir = dd
+        if clip_num_data is not None:
+            self.pairs = self.pairs[:clip_num_data]
 
     def __len__(self):
         return len(self.pairs)
@@ -55,6 +72,12 @@ class UDISDataset:
             h, w = img1.shape[:2]
             item["flow"] = np.zeros((h, w, 2), np.float32)   # no GT flow
             item["valid"] = np.ones((h, w), np.float32)
+        if self.return_depth and not self.is_test:
+            # RGB depth render -> channel mean, (H, W, 1) in [0, 255]
+            # (reference: datasets.py:437-448 returns this INSTEAD of the
+            # zero flow; the dict API carries both)
+            d = self._load(os.path.join(self.depth_dir, name))
+            item["depth2"] = d.mean(-1, keepdims=True)
         return item
 
 
@@ -132,7 +155,9 @@ def fetch_dataloader(cfg, phase: str = "training") -> PrefetchLoader:
     ds_cfg = cfg.get("udis_dataset", {}) if hasattr(cfg, "get") else {}
     data_dir = ds_cfg.get("data_dir", "./UDIS-D/")
     size = tuple(cfg.get("image_size", [512, 512]))
-    ds = UDISDataset(data_dir, phase=phase, size=size)
+    ds = UDISDataset(data_dir, phase=phase, size=size,
+                     return_depth=bool(ds_cfg.get("return_depth", False)),
+                     clip_num_data=ds_cfg.get("clip_num_data"))
     return PrefetchLoader(ds, batch_size=cfg.get("batch_size", 1),
                           shuffle=(phase == "training"),
                           num_workers=8, drop_last=(phase == "training"))

@@ -10,7 +10,8 @@ TPU-native Flax reimplementations of the reference's backbones:
 """
 
 from .twins import TwinsSVT
-from .flowformer import FlowFormer, FlowFormerConfig
+from .flowformer import (FlowFormer, FlowFormerConfig,
+                         FlowFormerPretrain)
 from .udis2 import (UDIS2HomographyNet, CompositionNet, compose_seam,
                     ccl_correlation_flow)
 from .resnet import ResNet50Stages
@@ -24,7 +25,8 @@ from .diffusion import (ControlNet, UNetConfig, UNet2DCondition,
                         convert_controlnet, convert_sd_unet)
 from .sd_pipeline import load_sd_checkpoint, make_sd_inpaint_fn
 
-__all__ = ["TwinsSVT", "FlowFormer", "FlowFormerConfig", "UDIS2HomographyNet",
+__all__ = ["TwinsSVT", "FlowFormer", "FlowFormerConfig",
+           "FlowFormerPretrain", "UDIS2HomographyNet",
            "CompositionNet", "compose_seam", "ccl_correlation_flow",
            "ResNet50Stages", "TransRefBase", "make_default_transref_apply",
            "QuaterUpsampler", "VGG16Features", "perceptual_loss",

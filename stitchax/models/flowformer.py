@@ -54,6 +54,15 @@ class FlowFormerConfig:
     use_rpe: bool = False
     lookup_radius: int = 4
     vertical_encoder_attn: str = "twins"   # 'twins' | 'NA' (reference NA.py)
+    # MAE pretrain hyperparameters (reference: configs/last_config.py
+    # percostformer3.{mask_ratio,gt_r,query_num,no_border}; pic_size
+    # offsets are 0 in the shipped [368,496,368,496] config)
+    mask_ratio: float = 0.5
+    gt_r: int = 15
+    query_num: int = 30
+    no_border: bool = True
+    H_offset: int = 0
+    W_offset: int = 0
     # Training needs all 12 convex-upsampled predictions (sequence loss);
     # inference consumes only the last, but the upsample sits inside the
     # scan where XLA cannot dead-code a per-iteration slice — False moves
@@ -101,12 +110,17 @@ class CostMapPatchEmbed(nn.Module):
 
 class LatentCrossAttention(nn.Module):
     """Latent tokens cross-attend to cost patches (cross_attn='all';
-    reference: crossattentionlayer.py:7-56)."""
+    reference: crossattentionlayer.py:7-56). `ids_keep` gathers the
+    unmasked target tokens first (MAE pretrain path,
+    crossattentionlayer.py:42-43)."""
     cfg: FlowFormerConfig
 
     @nn.compact
-    def __call__(self, latent, tgt):  # latent (1, K, D) or (B, K, D); tgt (B, N, Dt)
+    def __call__(self, latent, tgt, ids_keep=None):
+        # latent (1, K, D) or (B, K, D); tgt (B, N, Dt)
         D = self.cfg.cost_latent_dim
+        if ids_keep is not None:
+            tgt = jnp.take_along_axis(tgt, ids_keep[..., None], axis=1)
         short_cut = latent
         q_in = nn.LayerNorm(epsilon=1e-5, name="norm1")(latent)
         q = nn.Dense(D, name="q")(q_in)
@@ -164,39 +178,85 @@ class VerticalSelfAttention(nn.Module):
         return x
 
 
+def random_masking(noise, H2: int, W2: int, patch_size: int,
+                   mask_ratio: float):
+    """MAE cost-map masking (reference: encoder.py:218-256).
+
+    noise: (B, L) uniform scores, L = (H2p//8)*(W2p//8) with H2p/W2p the
+    patch-padded cost-map dims — injected instead of drawn internally so
+    the path is deterministic under jit (the reference accepts the same
+    injection via its `mask` argument).
+    Returns (ids_keep (B, len_keep), mask_for_keys (B, L),
+    [mask1 (B, H2p, W2p, 1), mask2 (/2), mask3 (/4)]) with 1 = masked.
+    """
+    Hp = H2 + (-H2) % patch_size
+    Wp = W2 + (-W2) % patch_size
+    hd, wd = Hp // 8, Wp // 8
+    L = hd * wd
+    assert noise.shape[-1] == L, (noise.shape, L)
+    len_keep = int(L * (1 - mask_ratio))
+    ids_shuffle = jnp.argsort(noise, axis=1)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :len_keep]
+    mask = jnp.ones_like(noise).at[:, :len_keep].set(0.0)
+    mask_for_keys = jnp.take_along_axis(mask, ids_restore, axis=1)
+
+    def up(f):  # nearest f-times upsample of the (hd, wd) key mask
+        m = mask_for_keys.reshape(-1, hd, wd)
+        m = jnp.repeat(jnp.repeat(m, f, axis=1), f, axis=2)
+        return m[..., None]
+
+    return ids_keep, mask_for_keys, [up(8), up(4), up(2)]
+
+
 class CostPerceiverEncoder(nn.Module):
     """Compress each source pixel's cost map into K latent tokens, then
     alternate latent self-attention with vertical (spatial) attention
-    (reference: encoder.py:174-287)."""
+    (reference: encoder.py:174-287). setup-style so the MAE `pretrain`
+    forward (encoder.py:289-326) shares every submodule."""
     cfg: FlowFormerConfig
 
-    @nn.compact
-    def __call__(self, cost_maps, context):
-        # cost_maps: (B, H1, W1, H2, W2, heads); context: (B, H1, W1, 256)
+    def setup(self):
         c = self.cfg
-        B, H1, W1, H2, W2, heads = cost_maps.shape
-        K, D = c.cost_latent_token_num, c.cost_latent_dim
-        cm = cost_maps.reshape(B * H1 * W1, H2, W2, heads)
+        self.patch_embed = CostMapPatchEmbed(c, name="patch_embed")
+        self.input_layer = LatentCrossAttention(c, name="input_layer")
+        self.latent_tokens = self.param(
+            "latent_tokens", nn.initializers.normal(1.0),
+            (1, c.cost_latent_token_num, c.cost_latent_dim))
+        self.encoder_layers = [
+            LatentSelfAttention(c, name=f"encoder_layer{i}")
+            for i in range(c.encoder_depth)]
+        if c.vertical_encoder_attn == "NA":
+            from .na_layer import NeighborhoodSelfAttentionLayer
+            self.vertical_layers = [
+                NeighborhoodSelfAttentionLayer(
+                    c.cost_latent_dim, c.vert_c_dim, c.encoder_latent_dim,
+                    name=f"vertical_layer{i}")
+                for i in range(c.encoder_depth)]
+        else:
+            self.vertical_layers = [
+                VerticalSelfAttention(c, name=f"vertical_layer{i}")
+                for i in range(c.encoder_depth)]
 
-        x, (H3, W3) = CostMapPatchEmbed(c, name="patch_embed")(cm)
+    def _encode(self, cm, context, B, H1, W1, ids_keep=None, masks=None):
+        """Shared body of forward and pretrain: patch embed (optionally
+        masked) -> latent cross-attn (optionally gathered) -> depth x
+        (self-attn + vertical attn) -> residual."""
+        c = self.cfg
+        K, D = c.cost_latent_token_num, c.cost_latent_dim
+        x, (H3, W3) = self.patch_embed(cm, masks)
         cost_patches = x  # (B*H1*W1, H3*W3, input_dim+64)
 
-        latent = self.param("latent_tokens", nn.initializers.normal(1.0), (1, K, D))
-        x = LatentCrossAttention(c, name="input_layer")(latent, cost_patches)
+        x = self.input_layer(self.latent_tokens, cost_patches,
+                             ids_keep=ids_keep)
 
         short_cut = x
         for idx in range(c.encoder_depth):
-            x = LatentSelfAttention(c, name=f"encoder_layer{idx}")(x)
+            x = self.encoder_layers[idx](x)
             # (B*H1W1, K, D) -> (B*K, H1, W1, D)
             x = x.reshape(B, H1 * W1, K, D).transpose(0, 2, 1, 3)
             x = x.reshape(B * K, H1, W1, D)
-            if c.vertical_encoder_attn == "NA":
-                from .na_layer import NeighborhoodSelfAttentionLayer
-                x = NeighborhoodSelfAttentionLayer(
-                    c.cost_latent_dim, c.vert_c_dim, c.encoder_latent_dim,
-                    name=f"vertical_layer{idx}")(x, context)
-            else:
-                x = VerticalSelfAttention(c, name=f"vertical_layer{idx}")(x, context)
+            x = self.vertical_layers[idx](x, context)
             x = x.reshape(B, K, H1 * W1, D).transpose(0, 2, 1, 3)
             x = x.reshape(B * H1 * W1, K, D)
         if c.cost_encoder_res:
@@ -204,6 +264,24 @@ class CostPerceiverEncoder(nn.Module):
 
         cost_patches = cost_patches.reshape(B * H1 * W1, H3, W3, -1)
         return x, cost_patches, (H3, W3)
+
+    def __call__(self, cost_maps, context):
+        # cost_maps: (B, H1, W1, H2, W2, heads); context: (B, H1, W1, 256)
+        B, H1, W1, H2, W2, heads = cost_maps.shape
+        cm = cost_maps.reshape(B * H1 * W1, H2, W2, heads)
+        return self._encode(cm, context, B, H1, W1)
+
+    def pretrain(self, cost_volume_inner, context, noise):
+        """MAE pretrain forward (reference: encoder.py:289-326): mask the
+        INNER cost maps before embedding, cross-attend only to kept
+        patches. noise: (B*H1*W1, L)."""
+        c = self.cfg
+        B, H1, W1, H2, W2, heads = cost_volume_inner.shape
+        cm = cost_volume_inner.reshape(B * H1 * W1, H2, W2, heads)
+        ids_keep, _, masks = random_masking(noise, H2, W2, c.patch_size,
+                                            c.mask_ratio)
+        return self._encode(cm, context, B, H1, W1,
+                            ids_keep=ids_keep, masks=masks)
 
 
 class MemoryEncoder(nn.Module):
@@ -240,6 +318,20 @@ class MemoryEncoder(nn.Module):
         cost_volume = self._cost_volume(feat_s, feat_t)
         x, cost_patches, h3w3 = self.cost_perceiver(cost_volume, context)
         return x, cost_patches, cost_volume, h3w3
+
+    def pretrain(self, img1, img2, img1_inner, img2_inner, context, noise):
+        """MAE pretrain forward (reference: encoder.py:412-428,
+        crop_cost_volume=False): outer volume = corr(inner img1 feats,
+        FULL img2 feats); inner volume = corr of the two inner feats; the
+        perceiver embeds the masked INNER volume. Returns
+        (latent memory, cost_volume_outer, cost_volume_inner)."""
+        feat_t, _ = self.feat_encoder(img2)
+        feat_s_inner, _ = self.feat_encoder(img1_inner)
+        feat_t_inner, _ = self.feat_encoder(img2_inner)
+        cv_outer = self._cost_volume(feat_s_inner, feat_t)
+        cv_inner = self._cost_volume(feat_s_inner, feat_t_inner)
+        x, _, _ = self.cost_perceiver.pretrain(cv_inner, context, noise)
+        return x, cv_outer, cv_inner
 
     def bidirectional(self, img1, img2, ctx1, ctx2):
         feat_s, _ = self.feat_encoder(img1)
@@ -536,6 +628,112 @@ class MemoryDecoder(nn.Module):
             flow_predictions = [convex_upsample_flow_b(coords1 - coords0,
                                                        up_mask)]
         return flow_predictions, coords1 - coords0
+
+
+class _PretrainQueryBlock(nn.Module):
+    """Query encode + cross-attention for one pretrain query, with the SAME
+    param paths as the decoder scan body ('iteration/...') so a converted
+    checkpoint loads into both the forward and pretrain models."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, cost_forward, key, value, query_coord):
+        c = self.cfg
+        B, H1, W1, _ = cost_forward.shape
+        q = nn.Conv(c.query_latent_dim, (1, 1),
+                    name="flow_token_enc1")(cost_forward)
+        q = nn.gelu(q, approximate=False)
+        q = nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc2")(q)
+        query = q.reshape(B * H1 * W1, 1, c.query_latent_dim)
+        qc = query_coord.reshape(B * H1 * W1, 1, 2)
+        coord_enc = linear_position_embedding_sine(qc, dim=c.query_latent_dim)
+        cost_global, _, _ = DecoderCrossAttention(c, name="decoder_layer")(
+            query, key, value, None, coord_enc)
+        return cost_global.reshape(B, H1, W1, c.query_latent_dim)
+
+
+class MemoryDecoderPretrain(nn.Module):
+    """MAE pretrain decoder (reference: decoder.py:346-439, gt_r>0 branch —
+    the shipped recipe: gt_r=15, no_border=True, query_num=30): random
+    query coordinates probe the latent memory; a conv head regresses the
+    channel-normalized (2r+1)^2 window of the OUTER cost map at each query;
+    loss is the summed per-query MSE."""
+    cfg: FlowFormerConfig
+
+    @nn.compact
+    def __call__(self, cost_memory, cost_maps_outer, cost_maps_inner,
+                 query_noise):
+        """query_noise: (Q, B, H1, W1, 2) uniforms in [0,1) — injected so
+        the path is deterministic under jit (the reference draws
+        torch.rand inline, decoder.py:394)."""
+        c = self.cfg
+        Dq = c.query_latent_dim
+        B, H1, W1, H2o, W2o, _ = cost_maps_outer.shape
+        radius = (c.gt_r - 1) // 2
+        cost_maps_outer = jax.lax.stop_gradient(cost_maps_outer)
+        cost_maps_inner = jax.lax.stop_gradient(cost_maps_inner)
+
+        key = nn.Dense(Dq, name="memory_k")(cost_memory)
+        value = nn.Dense(Dq, name="memory_v")(cost_memory)
+        block = _PretrainQueryBlock(c, name="iteration")
+        head0 = nn.Conv(Dq * 2, (1, 1), name="pretrain_head0")
+        head1 = nn.Conv(Dq * 2, (1, 1), name="pretrain_head1")
+        head2 = nn.Conv(c.gt_r ** 2, (1, 1), name="pretrain_head2")
+
+        offs = jnp.array([c.W_offset // 8, c.H_offset // 8], jnp.float32)
+        loss = 0.0
+        for i in range(query_noise.shape[0]):
+            raw = query_noise[i]
+            if c.no_border:
+                co = jnp.stack([raw[..., 0] * (W2o - c.gt_r),
+                                raw[..., 1] * (H2o - c.gt_r)], -1) + radius
+            else:
+                co = jnp.stack([raw[..., 0] * W2o, raw[..., 1] * H2o], -1)
+            co = jax.lax.stop_gradient(co)
+            ci = co - offs
+
+            tgt = encode_flow_token(cost_maps_outer, co, r=radius)
+            mean = tgt.mean(-1, keepdims=True)
+            var = tgt.var(-1, keepdims=True, ddof=1)  # torch-unbiased
+            tgt = (tgt - mean) / (var + 1e-6) ** 0.5
+
+            cost_forward = encode_flow_token(cost_maps_inner, ci,
+                                             r=c.lookup_radius)
+            cost_global = block(cost_forward, key, value, ci)
+            pred = head2(nn.gelu(head1(nn.gelu(head0(cost_global),
+                                               approximate=False)),
+                                 approximate=False))
+            loss = loss + jnp.mean((pred - tgt) ** 2)
+        return loss
+
+
+class FlowFormerPretrain(nn.Module):
+    """MAE pretraining model (reference: transformer.py:67-86). Shares its
+    whole param tree with FlowFormer (identical module paths) plus the
+    pretrain head, so one converted checkpoint loads into both; noise and
+    query coordinates are explicit inputs for jit determinism."""
+    cfg: FlowFormerConfig = FlowFormerConfig()
+
+    def setup(self):
+        self.context_encoder = TwinsSVT()
+        self.memory_encoder = MemoryEncoder(self.cfg)
+        self.memory_decoder = MemoryDecoderPretrain(self.cfg)
+
+    def __call__(self, image1, image2, noise, query_noise):
+        c = self.cfg
+        image1 = 2 * (image1 / 255.0) - 1.0
+        image2 = 2 * (image2 / 255.0) - 1.0
+        Ho, Wo = c.H_offset, c.W_offset
+        if Ho or Wo:
+            image1_inner = image1[:, Ho:-Ho, Wo:-Wo]
+            image2_inner = image2[:, Ho:-Ho, Wo:-Wo]
+        else:  # shipped pic_size has equal inner/outer frames
+            image1_inner, image2_inner = image1, image2
+
+        context, _ = self.context_encoder(image1_inner)
+        x, cv_outer, cv_inner = self.memory_encoder.pretrain(
+            image1, image2, image1_inner, image2_inner, context, noise)
+        return self.memory_decoder(x, cv_outer, cv_inner, query_noise)
 
 
 class FlowFormer(nn.Module):

@@ -305,6 +305,75 @@ class GlobalSubSampleAttnRPEContext(nn.Module):
         return nn.Dense(self.dim, name="proj")(out)
 
 
+class GroupAttnRPEContext(nn.Module):
+    """5-way batch-split shifted-group windowed attention
+    (reference: twins.py:64-151): the batch is split into five equal
+    groups whose key/value maps are shifted up / down / left / right /
+    not-at-all by one window before windowed attention, so each group's
+    latent tokens attend to a different spatial neighborhood.
+
+    Rebuilt for capability completeness: the reference never constructs
+    `Block(groupattention=True)` anywhere (verified by grep), and its own
+    `cost_latent_token_num % 5 == 0` assertion fails under the shipped
+    config (K=8) — this is dead code there, kept here as the documented
+    MAE-era variant with a standalone parity test.
+    """
+    dim: int
+    num_heads: int
+    ws: int
+    vert_c_dim: int
+
+    @nn.compact
+    def __call__(self, x, context):  # x (B, H, W, C); context (B0, H, W, Cc)
+        B, H, W, C = x.shape
+        assert B % 5 == 0, "GroupAttnRPEContext needs a batch divisible by 5"
+        Cqk = C + self.vert_c_dim
+        ctx = nn.Dense(self.vert_c_dim, name="context_proj")(context)
+        if ctx.shape[0] != B:
+            ctx = jnp.repeat(ctx, B // ctx.shape[0], axis=0)
+        x_qk = jnp.concatenate([x, ctx], axis=-1)
+
+        x, _ = pad_to_multiple(x, self.ws)
+        x_qk, _ = pad_to_multiple(x_qk, self.ws)
+        Hp, Wp = x.shape[1], x.shape[2]
+
+        gy, gx = jnp.meshgrid(jnp.arange(Hp, dtype=x.dtype),
+                              jnp.arange(Wp, dtype=x.dtype), indexing="ij")
+        enc = linear_position_embedding_sine(
+            jnp.stack([gx, gy], -1), dim=Cqk)[None]
+
+        q = nn.Dense(self.dim, name="q")(x_qk + enc)
+        k = nn.Dense(self.dim, name="k")(x_qk + enc)
+        v = nn.Dense(self.dim, name="v")(x)
+
+        # shift the kv maps per batch group (reference twins.py:126-132):
+        # groups 0-3 shift up/down/left/right by one window (edge rows /
+        # cols repeated), group 4 is unshifted
+        kv = jnp.concatenate([k, v], axis=-1)
+        bn = B // 5
+        ws = self.ws
+        up = jnp.concatenate([kv[:bn, ws:Hp], kv[:bn, Hp - ws:Hp]], axis=1)
+        down = jnp.concatenate([kv[bn:2 * bn, :ws],
+                                kv[bn:2 * bn, :Hp - ws]], axis=1)
+        left = jnp.concatenate([kv[2 * bn:3 * bn, :, ws:Wp],
+                                kv[2 * bn:3 * bn, :, Wp - ws:Wp]], axis=2)
+        right = jnp.concatenate([kv[3 * bn:4 * bn, :, :ws],
+                                 kv[3 * bn:4 * bn, :, :Wp - ws]], axis=2)
+        kv = jnp.concatenate([up, down, left, right, kv[4 * bn:]], axis=0)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        T = ws * ws
+        d = C // self.num_heads
+        qw = window_partition(q, ws).reshape(B, -1, T, self.num_heads, d)
+        kw = window_partition(k, ws).reshape(B, -1, T, self.num_heads, d)
+        vw = window_partition(v, ws).reshape(B, -1, T, self.num_heads, d)
+        logits = jnp.einsum("bnihd,bnjhd->bnhij", qw, kw) * d ** -0.5
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bnhij,bnjhd->bnihd", attn, vw)
+        out = window_merge(out.reshape(B, -1, T, C), ws, Hp, Wp)[:, :H, :W]
+        return nn.Dense(self.dim, name="proj")(out)
+
+
 class TwinsBlockRPEContext(nn.Module):
     """Pre-norm block around the RPE+context attention (twins.py:752-790)."""
     dim: int

@@ -90,6 +90,41 @@ class TestDataset:
         assert item["flow"].shape == (32, 40, 2)
         assert (item["flow"] == 0).all()
 
+    def test_return_depth(self, tmp_path):
+        """depth2 channel loading (reference: core/datasets.py:330,353-368,
+        437-448): RGB depth render -> channel-mean (H, W, 1)."""
+        from PIL import Image
+        from stitchax.data import UDISDataset
+        root = self._make_split(tmp_path)
+        os.rename(os.path.join(root, "testing"),
+                  os.path.join(root, "training"))
+        ddir = os.path.join(root, "training", "depth2")
+        os.makedirs(ddir)
+        rng = np.random.default_rng(1)
+        for i in range(5):
+            arr = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(ddir, f"{i:06d}.jpg"))
+
+        ds = UDISDataset(root, phase="training", return_depth=True)
+        item = ds[0]
+        assert item["depth2"].shape == (32, 40, 1)
+        # channel mean of the saved RGB render
+        saved = np.asarray(Image.open(
+            os.path.join(ddir, "000000.jpg")).convert("RGB"), np.float32)
+        np.testing.assert_allclose(item["depth2"][..., 0],
+                                   saved.mean(-1), atol=1e-4)
+        # test mode omits it; clip_num_data truncates
+        assert "depth2" not in UDISDataset(root, phase="training",
+                                           is_test=True,
+                                           return_depth=True)[0]
+        assert len(UDISDataset(root, phase="training", return_depth=True,
+                               clip_num_data=3)) == 3
+        # missing depth dir is a loud error
+        import shutil
+        shutil.rmtree(ddir)
+        with pytest.raises(FileNotFoundError):
+            UDISDataset(root, phase="training", return_depth=True)
+
 
 class TestMixMethods:
     def test_all_img1_shapes(self, rng):
