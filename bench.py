@@ -37,7 +37,9 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
     img2 = load_image("demo_data/demo1/input2.jpg")
 
     stitcher.stitch(img1, img2)  # compile all stages for this shape
-    stitcher.stitch(img1, img2)  # settle the tunnel after compile traffic
+    # compile the grouped (batch-2) align program stitch_many uses, then
+    # settle the tunnel after compile traffic
+    list(stitcher.stitch_many([(img1, img2)] * 2))
     # pipelined sweep throughput: stitch_many overlaps pair k's output
     # transfer with pair k+1's device stages — the sweep rate out.py
     # achieves, and long enough to average out relay latency spikes

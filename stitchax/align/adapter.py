@@ -167,20 +167,24 @@ def stitch_model_step(homo_fn: Callable, flow_fn: Callable,
     # so a 64x64 mesh gives identical bounds at far lower cost.
     mesh_p = jax.vmap(lambda h: ops.h2mesh(h, mesh))(H)
     # reference truncates toward zero (tensor.int()); mins are <= 0 and maxes
-    # >= img dims, so trunc matches its semantics exactly
-    width_max = jnp.trunc(jnp.maximum(mesh_p[..., 0].max(), img_w))
-    width_min = jnp.trunc(jnp.minimum(mesh_p[..., 0].min(), 0.0))
-    height_max = jnp.trunc(jnp.maximum(mesh_p[..., 1].max(), img_h))
-    height_min = jnp.trunc(jnp.minimum(mesh_p[..., 1].min(), 0.0))
+    # >= img dims, so trunc matches its semantics exactly.
+    # Bounds are PER PAIR (reduce over mesh vertices only): a batched model
+    # step must not couple one pair's canvas to another's — the reference
+    # always runs this path at batch 1 (out.py:200), so per-pair boxes are
+    # its exact per-sample semantics.
+    width_max = jnp.trunc(jnp.maximum(mesh_p[..., 0].max(axis=(1, 2)), img_w))
+    width_min = jnp.trunc(jnp.minimum(mesh_p[..., 0].min(axis=(1, 2)), 0.0))
+    height_max = jnp.trunc(jnp.maximum(mesh_p[..., 1].max(axis=(1, 2)), img_h))
+    height_min = jnp.trunc(jnp.minimum(mesh_p[..., 1].min(axis=(1, 2)), 0.0))
 
     out = dict(H=H, flow=flow, warp2_mask_512=warp2_mask_512,
                warp2_512=warp2_512, in1_512=in1_512,
                width_min=width_min, height_min=height_min,
                width_max=width_max, height_max=height_max,
-               # one stacked leaf so the host canvas-bucket decision costs a
-               # single relay fetch instead of four
+               # one stacked (B, 4) leaf so the host canvas-bucket decision
+               # costs a single relay fetch instead of four
                canvas_box=jnp.stack([width_min, height_min,
-                                     width_max, height_max]))
+                                     width_max, height_max], axis=-1))
 
     if cfg.use_fb_consistency_mask:
         if back_preds_512 is None:
@@ -215,24 +219,26 @@ def stitch_render(input1: jnp.ndarray, input2: jnp.ndarray,
         return jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
                          dtype).at[0, 2].set(wm).at[1, 2].set(hm)
 
-    I_ = translation(width_min, height_min)
-    I_mat = N_inv @ I_ @ M  # same for all batch elements
+    # width_min/height_min may be scalars (single pair) or (B,) per-pair
+    # canvas origins (batched align step)
+    wm = jnp.broadcast_to(jnp.asarray(width_min, dtype), (B,))
+    hm = jnp.broadcast_to(jnp.asarray(height_min, dtype), (B,))
+    I_ = jax.vmap(translation)(wm, hm)          # (B, 3, 3)
+    I_mat = jax.vmap(lambda t: N_inv @ t @ M)(I_)
 
     ones3 = jnp.ones_like(input1)
     homo_output = ops.homography_warp_b(
-        jnp.concatenate([input1, ones3], -1),
-        jnp.broadcast_to(I_mat[None], (B, 3, 3)), out_h, out_w)
+        jnp.concatenate([input1, ones3], -1), I_mat, out_h, out_w)
 
     # H warp of img2 into the canvas
-    H_canvas = jax.vmap(lambda h: N_inv @ (h @ I_) @ M)(H)
+    H_canvas = jax.vmap(lambda h, t: N_inv @ (h @ t) @ M)(H, I_)
     homo_output2 = ops.homography_warp_b(
         jnp.concatenate([input2, ones3], -1), H_canvas, out_h, out_w)
 
     # residual flow re-rendered into the canvas + mask channel
     flow_mask = jnp.ones(flow.shape[:-1] + (1,), dtype)
     flow_canvas = ops.homography_warp_b(
-        jnp.concatenate([flow, flow_mask], -1),
-        jnp.broadcast_to(I_mat[None], (B, 3, 3)), out_h, out_w)
+        jnp.concatenate([flow, flow_mask], -1), I_mat, out_h, out_w)
     residual_flow_c, flow_mask_c = flow_canvas[..., 0:2], flow_canvas[..., 2:3]
 
     final_warp_output = ops.flow_warp_b(homo_output2, residual_flow_c)
@@ -241,8 +247,7 @@ def stitch_render(input1: jnp.ndarray, input2: jnp.ndarray,
     occlusion_mask = None
     if origin_occlusion_mask is not None:
         occ_c = ops.homography_warp_b(
-            origin_occlusion_mask,
-            jnp.broadcast_to(I_mat[None], (B, 3, 3)), out_h, out_w)
+            origin_occlusion_mask, I_mat, out_h, out_w)
         occ_c = ops.preprocess_occlusion_mask(occ_c, cfg.occlusion_kernel)
         final_warp_output = final_warp_output * occ_c
         occlusion_mask = occ_c

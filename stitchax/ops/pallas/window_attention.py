@@ -40,7 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(qx_ref, kx_ref, vx_ref, qb_ref, kb_ref, vb_ref, out_ref, *,
-            ws: int, heads: int, n_win: int):
+            ws: int, heads: int, n_win: int, n_strips: int = 1,
+            win_block: int = 1):
+    """One program covers `n_strips` window rows of `n_win` windows each,
+    batching `win_block` adjacent windows into each pair of fused matmuls
+    (the (h·T, C)x(C, T) shapes at T=49 leave most of the MXU pass idle —
+    stacking W windows along the contraction's free rows amortizes it).
+    All slices are static: the earlier fori_loop + pl.ds variant failed
+    Mosaic's 8-sublane alignment proof at ws=7 offsets; a statically
+    unrolled slice compiles (this file's r2 history)."""
     C = qx_ref.shape[-1]
     d = C // heads
     T = ws * ws
@@ -50,92 +58,55 @@ def _kernel(qx_ref, kx_ref, vx_ref, qb_ref, kb_ref, vb_ref, out_ref, *,
     kb = kb_ref[:, :].astype(jnp.float32)
     vb = vb_ref[:, :].astype(jnp.float32)          # (1, C)
 
-    ch = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, C), 2)
-    hid = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, C), 0)
-    hmask = (ch // d == hid).astype(jnp.float32)   # (heads, 1, C)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, 1, C), 3)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, 1, C), 0)
+    hmask = (ch // d == hid).astype(jnp.float32)   # (h, 1, 1, C)
 
-    for j in range(n_win):
-        sl = slice(j * ws, (j + 1) * ws)
-        q = qx_ref[0, :, sl, :].astype(jnp.float32).reshape(T, C) + qb
-        k = kx_ref[0, :, sl, :].astype(jnp.float32).reshape(T, C) + kb
-        v = vx_ref[0, :, sl, :].astype(jnp.float32).reshape(T, C) + vb
+    for s in range(n_strips):
+        rows = slice(s * ws, (s + 1) * ws)
+        for j0 in range(0, n_win, win_block):
+            W = min(win_block, n_win - j0)
+            cols = slice(j0 * ws, (j0 + W) * ws)
+            # (ws, W*ws, C) -> (W, T, C)
+            def win(ref, bias):
+                t = ref[0, rows, cols, :].astype(jnp.float32)
+                t = t.reshape(ws, W, ws, C).transpose(1, 0, 2, 3)
+                return t.reshape(W, T, C) + bias[None]
 
-        qs = q[None] * hmask * scale               # (h, T, C)
-        logits = jax.lax.dot_general(
-            qs, k, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (h, T, T)
-        attn = jax.nn.softmax(logits, axis=-1)
-        vs = v[None] * hmask                       # (h, T, C)
-        outs = jax.lax.dot_general(
-            attn, vs, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)    # (h, T, C)
-        out = jnp.sum(outs, axis=0)                # (T, C)
-        out_ref[0, :, sl, :] = out.reshape(ws, ws, C).astype(out_ref.dtype)
+            q = win(qx_ref, qb)
+            k = win(kx_ref, kb)
+            v = win(vx_ref, vb)
 
-
-def _kernel_batched(qx_ref, kx_ref, vx_ref, qb_ref, kb_ref, vb_ref, out_ref,
-                    *, ws: int, heads: int, n_win: int, n_strips: int):
-    """Multi-strip variant: same per-window math as `_kernel` but one
-    program covers `n_strips` window rows, amortizing per-program overhead
-    (640 -> 64 grid steps at the 512² operating point). The window loop is
-    a fori_loop so compile size stays O(1) in the window count.
-
-    STATUS: works in interpret mode (parity-tested) but does NOT compile
-    on the current Mosaic — dynamic window slices at ws=7 offsets hit
-    "cannot statically prove that index is a multiple of 8" (the window
-    geometry conflicts with 8-sublane tiling for dynamic vector loads),
-    and fully unrolling 100 windows OOMs the compiler. This is why the
-    XLA formulation stays the production default (see
-    LocallyGroupedAttnRPEContext's dispatch comment)."""
-    C = qx_ref.shape[-1]
-    d = C // heads
-    T = ws * ws
-    scale = d ** -0.5
-
-    qb = qb_ref[:, :].astype(jnp.float32)
-    kb = kb_ref[:, :].astype(jnp.float32)
-    vb = vb_ref[:, :].astype(jnp.float32)
-
-    ch = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, C), 2)
-    hid = jax.lax.broadcasted_iota(jnp.int32, (heads, 1, C), 0)
-    hmask = (ch // d == hid).astype(jnp.float32)   # (heads, 1, C)
-
-    def body(i, _):
-        si = (i // n_win) * ws
-        sj = (i % n_win) * ws
-        q = qx_ref[0, pl.ds(si, ws), pl.ds(sj, ws), :].astype(
-            jnp.float32).reshape(T, C) + qb
-        k = kx_ref[0, pl.ds(si, ws), pl.ds(sj, ws), :].astype(
-            jnp.float32).reshape(T, C) + kb
-        v = vx_ref[0, pl.ds(si, ws), pl.ds(sj, ws), :].astype(
-            jnp.float32).reshape(T, C) + vb
-        qs = q[None] * hmask * scale               # (h, T, C)
-        logits = jax.lax.dot_general(
-            qs, k, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits, axis=-1)
-        vs = v[None] * hmask
-        outs = jax.lax.dot_general(
-            attn, vs, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        out = jnp.sum(outs, axis=0)
-        out_ref[0, pl.ds(si, ws), pl.ds(sj, ws), :] = out.reshape(
-            ws, ws, C).astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_strips * n_win, body, 0)
+            qs = q[None] * hmask * scale           # (h, W, T, C)
+            qs = qs.reshape(heads * W, T, C)
+            kb_ = jnp.broadcast_to(k[None], (heads, W, T, C)).reshape(
+                heads * W, T, C)
+            logits = jax.lax.dot_general(
+                qs, kb_, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # (h·W, T, T)
+            attn = jax.nn.softmax(logits, axis=-1)
+            vs = (v[None] * hmask).reshape(heads * W, T, C)
+            outs = jax.lax.dot_general(
+                attn, vs, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # (h·W, T, C)
+            out = jnp.sum(outs.reshape(heads, W, T, C), axis=0)
+            out = out.reshape(W, ws, ws, C).transpose(1, 0, 2, 3)
+            out_ref[0, rows, cols, :] = out.reshape(
+                ws, W * ws, C).astype(out_ref.dtype)
 
 
 def window_attention_pallas(qx: jnp.ndarray, kx: jnp.ndarray, vx: jnp.ndarray,
                             q_bias: jnp.ndarray, k_bias: jnp.ndarray,
                             v_bias: jnp.ndarray, *, heads: int, ws: int,
-                            block_strips: int = 1,
+                            block_strips: int = 1, win_block: int = 1,
                             interpret: bool = False) -> jnp.ndarray:
     """Windowed MHA over (B, H, W, C) bias-free projected streams.
 
     qx/kx/vx: W_q·x_qk / W_k·x_qk / W_v·x WITHOUT the dense biases.
     q_bias/k_bias: (ws*ws, C) = Dense(enc) per window position (incl. bias).
     v_bias: (C,) dense v bias.
+    block_strips: window rows per program (amortizes per-program overhead);
+    win_block: adjacent windows batched into each fused matmul pair.
     Returns the (B, H, W, C) pre-proj attention output.
     """
     B, H, W, C = qx.shape
@@ -152,19 +123,8 @@ def window_attention_pallas(qx: jnp.ndarray, kx: jnp.ndarray, vx: jnp.ndarray,
 
     sb = max(s for s in range(1, min(block_strips, n_strips) + 1)
              if n_strips % s == 0)
-    if sb > 1 and not interpret:
-        # _kernel_batched does not compile on current Mosaic (dynamic ws=7
-        # slices fail the 8-sublane alignment proof) — only usable in
-        # interpret mode; fall back to the single-strip kernel on hardware
-        import warnings
-        warnings.warn("window_attention_pallas: block_strips>1 only "
-                      "compiles in interpret mode; falling back to 1")
-        sb = 1
-    if sb == 1:
-        kernel = functools.partial(_kernel, ws=ws, heads=heads, n_win=n_win)
-    else:
-        kernel = functools.partial(_kernel_batched, ws=ws, heads=heads,
-                                   n_win=n_win, n_strips=sb)
+    kernel = functools.partial(_kernel, ws=ws, heads=heads, n_win=n_win,
+                               n_strips=sb, win_block=win_block)
     strip = pl.BlockSpec((1, sb * ws, Wp, C), lambda n, s: (n, s, 0, 0),
                          memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda n, s: (0, 0),

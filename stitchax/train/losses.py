@@ -26,13 +26,21 @@ class LossConfig:
     border_weight: float = 0.5
     max_flow: float = 500.0
     border_px: int = 8
-    charbonnier_eps: float = 1e-3
+    charbonnier_eps: float = 1.0
 
 
 def photometric_l1(img1: jnp.ndarray, warped2: jnp.ndarray,
-                   mask: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
-    """Masked Charbonnier photometric distance on [0, 255] images."""
-    diff = (img1 - warped2) / 255.0
+                   mask: jnp.ndarray, eps: float = 1.0) -> jnp.ndarray:
+    """Masked Charbonnier photometric distance in RAW gray levels.
+
+    Kept on the [0, 255] scale deliberately: the reference's loss weights
+    (rigid_motion 0.3, border 0.5 of per-pixel flow magnitude,
+    configs/last_config.py) only balance against a gray-level photometric
+    term — normalizing the diff to [0,1] makes 0.3·|flow| dominate and
+    the optimizer collapses the residual flow to zero instead of letting
+    it fix what the homography can't (measured in tools/train_learns.py:
+    aligned PSNR stuck == homo-only PSNR under the [0,1] scale)."""
+    diff = img1 - warped2
     err = jnp.sqrt(diff * diff + eps * eps)
     w = mask
     return (err * w).sum() / (jnp.maximum(w.sum(), 1.0) * img1.shape[-1])

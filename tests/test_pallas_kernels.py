@@ -106,16 +106,20 @@ class TestWindowAttention:
         return (mk(B, H, W, C), mk(B, H, W, C), mk(B, H, W, C),
                 mk(T, C) * 0.3, mk(T, C) * 0.3, mk(1, C) * 0.3)
 
-    @pytest.mark.parametrize("H,W,sb", [(14, 21, 1), (16, 20, 1), (9, 7, 1),
-                                        (14, 21, 2), (16, 20, 3)])
-    def test_kernel_matches_oracle(self, rng, H, W, sb):
+    @pytest.mark.parametrize("H,W,sb,wb",
+                             [(14, 21, 1, 1), (16, 20, 1, 1), (9, 7, 1, 1),
+                              (14, 21, 2, 1), (16, 20, 3, 1),
+                              (14, 21, 1, 2), (16, 20, 2, 4),
+                              (14, 28, 3, 3)])
+    def test_kernel_matches_oracle(self, rng, H, W, sb, wb):
         from stitchax.ops.pallas.window_attention import (
             window_attention_pallas, window_attention_ref)
         B, C, heads, ws = 2, 32, 4, 7
         args = self._make(rng, B, H, W, C, ws * ws)
         ref = window_attention_ref(*args, heads=heads, ws=ws)
         got = window_attention_pallas(*args, heads=heads, ws=ws,
-                                      block_strips=sb, interpret=True)
+                                      block_strips=sb, win_block=wb,
+                                      interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5)
 

@@ -141,8 +141,9 @@ class TestStitchOut:
             _jax_homo_fn(1.0), _jax_flow_fn, a, b, cfg))
         out = step(i1, i2)
 
-        assert int(out["width_min"]) == want["width_min"]
-        assert int(out["height_min"]) == want["height_min"]
+        # per-pair canvas bounds: (B,) arrays since the batched align step
+        assert int(out["width_min"][0]) == want["width_min"]
+        assert int(out["height_min"][0]) == want["height_min"]
         out_h, out_w = want["out_height"], want["out_width"]
 
         render = jax.jit(lambda *a: ad.stitch_render(

@@ -42,8 +42,10 @@ def main():
     qb, kb, vb = mk(T, C), mk(T, C), mk(1, C)
 
     ref = jax.jit(lambda *a: window_attention_ref(*a, heads=heads, ws=ws))
-    k10 = jax.jit(lambda *a: window_attention_pallas(*a, heads=heads, ws=ws,
-                                                     block_strips=10))
+
+    def kern(sb, wb):
+        return jax.jit(lambda *a: window_attention_pallas(
+            *a, heads=heads, ws=ws, block_strips=sb, win_block=wb))
 
     def partition_only(q, k, v):
         """Just the XLA-side layout work of the ref: pad+partition 3 streams
@@ -67,10 +69,15 @@ def main():
     args = (qx, kx, vx, qb, kb, vb)
     a = timed("XLA ref (64,64,64,128)", ref, *args)
     timed("XLA partition+merge only", po, qx, kx, vx)
-    d = timed("pallas batched (block_strips=10)", k10, *args)
-    err = float(jnp.abs(a.astype(jnp.float32)
-                        - d.astype(jnp.float32)).max())
-    print(f"max abs err sb10: {err:.3e}")
+    for sb, wb in [(1, 1), (2, 1), (5, 1), (1, 5), (2, 5), (5, 5),
+                   (2, 10), (5, 10), (10, 10)]:
+        try:
+            d = timed(f"pallas sb={sb} wb={wb}", kern(sb, wb), *args)
+            err = float(jnp.abs(a.astype(jnp.float32)
+                                - d.astype(jnp.float32)).max())
+            print(f"    max abs err: {err:.3e}")
+        except Exception as e:  # noqa: BLE001 — record compile failures
+            print(f"pallas sb={sb} wb={wb} FAILED: {str(e)[:120]}")
 
 
 if __name__ == "__main__":

@@ -83,12 +83,25 @@ def main():
         r["final_warp"][0], out["flow"][0], out["width_min"],
         out["height_min"], occ0, None))
 
+    # grouped align: one batch-2 model step shared by two pairs
+    step2 = st._model_step((H, W), 2)
+    i1b = jnp.concatenate([i1, i1])
+    i2b = jnp.concatenate([i2, i2])
+    timeit("align model step (b2 = 2 pairs)", lambda: step2(i1b, i2b))
+
     # whole-pipeline host path for comparison
     t0 = time.perf_counter()
     for _ in range(5):
         st.stitch(img1, img2)
     dt = (time.perf_counter() - t0) / 5
     print(f"{'full stitch() host path':32s} {dt * 1000:9.1f} ms")
+
+    # pipelined + grouped sweep (the stitch_many production path)
+    list(st.stitch_many([(img1, img2)] * 4))  # compile the b2 program path
+    t0 = time.perf_counter()
+    n = sum(1 for _ in st.stitch_many([(img1, img2)] * 10))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{'stitch_many per pair (grouped)':32s} {dt * 1000:9.1f} ms")
 
 
 if __name__ == "__main__":

@@ -201,13 +201,22 @@ def main():
                 print(f"[step {step}] loss {losses[-1]:.4f}  homo-only "
                       f"PSNR {ph:.2f}  aligned PSNR {pf:.2f}", flush=True)
 
-    # dashboards
+    # dashboards (reference logger.py plot_the_results panels).
+    # MUST be jitted: an eager model forward dispatches thousands of ops
+    # through the remote-TPU tunnel at ~1s each (CLAUDE.md)
     try:
         from stitchax.utils.logger import save_train_dashboard
-        pred = np.asarray(eval_fwd(state.params, e1[:1], e2[:1])[1])
+
+        @jax.jit
+        def flow_of(params, a, b):
+            fwd = align_train_forward(homo_apply, flow_apply, params,
+                                      a, b, align_cfg)
+            return fwd["flow_predictions"][-1]
+
+        flow1 = np.asarray(flow_of(state.params, e1[:1], e2[:1]))
         save_train_dashboard(os.path.join(args.out, "panel_final.png"),
                              np.asarray(e1[0]), np.asarray(e2[0]),
-                             pred[0, ..., 0:3])
+                             flow1[0])
     except Exception as e:  # noqa: BLE001
         print(f"dashboard skipped: {e}")
 
