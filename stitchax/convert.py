@@ -377,13 +377,18 @@ def convert_flowformer(sd: Mapping[str, Any], encoder_depth: int = 3
                                   "convz2", "convr2", "convq2")},
                 "flow_head": {n: _convp(sd, f"{md}.update_block.flow_head.{n}")
                               for n in ("conv1", "conv2")},
-                "mask1": _convp(sd, f"{md}.update_block.mask.0"),
-                "mask2": _convp(sd, f"{md}.update_block.mask.2"),
                 "aggregator": {
                     "to_v": _convp(sd, f"{md}.update_block.aggregator.to_v"),
                     "gamma": _np(sd[f"{md}.update_block.aggregator.gamma"]),
                 },
             },
+        },
+        # upsample-mask head, hoisted out of the iteration scan (stitchax
+        # computes it only for upsampled iterations; reference
+        # gru.py:313-318 keeps it inside the update block)
+        "mask_head": {
+            "mask1": _convp(sd, f"{md}.update_block.mask.0"),
+            "mask2": _convp(sd, f"{md}.update_block.mask.2"),
         },
     }
     # MAE pretrain head (reference: decoder.py:166-180, gt_r>0 Sequential

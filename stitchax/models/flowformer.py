@@ -69,6 +69,14 @@ class FlowFormerConfig:
     # the single upsample after the loop (reference semantics unchanged:
     # its intermediate predictions are unused at test time).
     upsample_all: bool = True
+    # Decoder cost-lookup formulation: 'selector' contracts the FULL
+    # per-pixel cost map against sparse bilinear selector matmuls (reads
+    # the whole 268 MB cost volume every iteration, matmul-only — the
+    # right default for training, whose VJP stays matmul-shaped);
+    # 'rowtake' gathers just the win+1 rows each pixel can touch and
+    # lerps vertically on the VPU (~6x less HBM per iteration). Both are
+    # bit-compatible (tools/exp_flow_token.py).
+    lookup_impl: str = "selector"   # 'selector' | 'rowtake'
 
 
 class CostMapPatchEmbed(nn.Module):
@@ -401,22 +409,65 @@ class BasicMotionEncoder(nn.Module):
         return jnp.concatenate([out, flow], -1)
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible params ({kernel, bias}, lecun-normal /
+    zeros) without owning the computation, so a fused formulation can
+    keep the reference-mapped param tree (convz1/... etc.) intact."""
+    features: int
+    ksize: Tuple[int, int]
+    in_features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            self.ksize + (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+
+def _conv2d(x, kernel, pad):
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class SepConvGRU(nn.Module):
-    """1x5 then 5x1 separable ConvGRU (reference: gru.py:32-59)."""
+    """1x5 then 5x1 separable ConvGRU (reference: gru.py:32-59).
+
+    TPU formulation: each gate conv over the concat [h, x] (or [r*h, x])
+    is decomposed into a conv over the h-part plus a conv over the x-part
+    (conv is linear in input channels), and the z/r gates share one fused
+    conv — the (B, H, W, 512) concat buffers never materialize inside the
+    decoder scan and the fused gate matmul runs at 256 output lanes.
+    Param tree is identical to the plain-nn.Conv version (convz1/... with
+    (kh, kw, h+x, hidden) kernels), so the reference converter is
+    untouched."""
     hidden_dim: int = 128
 
     @nn.compact
     def __call__(self, h, x):
+        hd, xd = h.shape[-1], x.shape[-1]
         for name, ker, pad in (("1", (1, 5), ((0, 0), (2, 2))),
                                ("2", (5, 1), ((2, 2), (0, 0)))):
-            hx = jnp.concatenate([h, x], -1)
-            z = nn.sigmoid(nn.Conv(self.hidden_dim, ker, padding=pad,
-                                   name=f"convz{name}")(hx))
-            r = nn.sigmoid(nn.Conv(self.hidden_dim, ker, padding=pad,
-                                   name=f"convr{name}")(hx))
-            q = jnp.tanh(nn.Conv(self.hidden_dim, ker, padding=pad,
-                                 name=f"convq{name}")(
-                jnp.concatenate([r * h, x], -1)))
+            pz = _ConvParams(self.hidden_dim, ker, hd + xd,
+                             name=f"convz{name}")
+            pr = _ConvParams(self.hidden_dim, ker, hd + xd,
+                             name=f"convr{name}")
+            pq = _ConvParams(self.hidden_dim, ker, hd + xd,
+                             name=f"convq{name}")
+            # fused z|r over the h-part and the x-part separately
+            kzr_h = jnp.concatenate([pz.kernel[:, :, :hd],
+                                     pr.kernel[:, :, :hd]], -1)
+            kzr_x = jnp.concatenate([pz.kernel[:, :, hd:],
+                                     pr.kernel[:, :, hd:]], -1)
+            bzr = jnp.concatenate([pz.bias, pr.bias])
+            zr = (_conv2d(h, kzr_h, pad) + _conv2d(x, kzr_x, pad)
+                  + bzr.astype(h.dtype))
+            z = nn.sigmoid(zr[..., :self.hidden_dim])
+            r = nn.sigmoid(zr[..., self.hidden_dim:])
+            q = jnp.tanh(_conv2d(r * h, pq.kernel[:, :, :hd], pad)
+                         + _conv2d(x, pq.kernel[:, :, hd:], pad)
+                         + pq.bias.astype(h.dtype))
             h = (1 - z) * h + z * q
         return h
 
@@ -431,9 +482,24 @@ class FlowHead(nn.Module):
         return nn.Conv(2, (3, 3), padding="SAME", name="conv2")(x)
 
 
+class MaskHead(nn.Module):
+    """Convex-upsample mask head on the GRU state (reference:
+    gru.py:313-318 `self.mask`). Hoisted OUT of the decoder iteration:
+    the mask only matters for iterations whose flow is upsampled, so
+    inference computes it once on the final net (the reference pays it
+    every iteration) and training applies it batched over all iteration
+    nets after the scan instead of 12 small convs inside it."""
+
+    @nn.compact
+    def __call__(self, net):
+        mask = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="mask1")(net))
+        return 0.25 * nn.Conv(64 * 9, (1, 1), name="mask2")(mask)
+
+
 class GMAUpdateBlock(nn.Module):
-    """Motion enc + GMA aggregation -> GRU -> flow head + upsample mask
-    (reference: gru.py:307-334)."""
+    """Motion enc + GMA aggregation -> GRU -> flow head
+    (reference: gru.py:307-334; the upsample-mask branch lives in
+    MaskHead at the decoder level)."""
     cfg: FlowFormerConfig
 
     @nn.compact
@@ -443,9 +509,7 @@ class GMAUpdateBlock(nn.Module):
         inp_cat = jnp.concatenate([inp, motion, motion_global], -1)
         net = SepConvGRU(name="gru")(net, inp_cat)
         delta_flow = FlowHead(name="flow_head")(net)
-        mask = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="mask1")(net))
-        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask2")(mask)
-        return net, mask, delta_flow
+        return net, delta_flow
 
 
 class DecoderCrossAttention(nn.Module):
@@ -508,6 +572,39 @@ def _bilinear_selector(center: jnp.ndarray, size: int, r: int) -> jnp.ndarray:
     return ((ys == base) * (1.0 - f) + (ys == base + 1.0) * f)
 
 
+def encode_flow_token_rowtake(cost_maps, coords, r: int = 4):
+    """Row-gather + VPU vertical lerp + horizontal selector matmul.
+    Bit-compatible with encode_flow_token (exact zero OOB semantics, same
+    x-major channel order) but reads only the win+1 cost-map rows each
+    pixel can touch instead of the full volume — ~6x less HBM traffic
+    per decoder iteration (tools/exp_flow_token.py)."""
+    B, H1, W1, H2, W2, heads = cost_maps.shape
+    P = B * H1 * W1
+    win = 2 * r + 1
+    cm = cost_maps.reshape(P, H2, W2 * heads)
+    cen = coords.reshape(P, 2)
+
+    cy = cen[:, 1]
+    y0 = jnp.floor(cy).astype(jnp.int32) - r          # first row of window
+    t = jnp.arange(win + 1, dtype=jnp.int32)
+    idx = y0[:, None] + t[None]                        # (P, win+1)
+    valid = (idx >= 0) & (idx < H2)
+    rows = jnp.take_along_axis(
+        cm, jnp.clip(idx, 0, H2 - 1)[:, :, None], axis=1)  # (P, win+1, W2h)
+    rows = rows * valid[:, :, None].astype(cm.dtype)
+
+    fy = (cy - jnp.floor(cy)).astype(jnp.float32)[:, None, None]
+    v = ((1.0 - fy) * rows[:, :win].astype(jnp.float32)
+         + fy * rows[:, 1:].astype(jnp.float32)).astype(cm.dtype)
+
+    Sx = _bilinear_selector(cen[:, 0], W2, r).astype(cm.dtype)
+    v = v.reshape(P, win, W2, heads)
+    s = jnp.einsum("pax,ptxh->ptah", Sx, v,
+                   preferred_element_type=jnp.float32)
+    s = s.transpose(0, 2, 1, 3).astype(coords.dtype)
+    return s.reshape(B, H1, W1, win * win * heads)
+
+
 def encode_flow_token(cost_maps, coords, r: int = 4):
     """Sample a (2r+1)^2 bilinear window of the cost map around per-pixel
     coords (reference: decoder.py:242-260). Channel order is x-major
@@ -554,12 +651,14 @@ class DecoderIteration(nn.Module):
     @nn.compact
     def __call__(self, carry, consts):
         c = self.cfg
-        net, coords1, _ = carry
+        net, coords1 = carry
         inp, attention, cost_maps, key, value, coords0 = consts
         B, H1, W1, _ = coords1.shape
 
         coords1 = jax.lax.stop_gradient(coords1)
-        cost_forward = encode_flow_token(cost_maps, coords1, r=c.lookup_radius)
+        lookup = (encode_flow_token_rowtake if c.lookup_impl == "rowtake"
+                  else encode_flow_token)
+        cost_forward = lookup(cost_maps, coords1, r=c.lookup_radius)
 
         q = nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc1")(cost_forward)
         q = nn.gelu(q, approximate=False)
@@ -576,14 +675,16 @@ class DecoderIteration(nn.Module):
 
         corr = jnp.concatenate([cost_global, cost_forward], -1)
         flow = coords1 - coords0
-        net, up_mask, delta_flow = GMAUpdateBlock(c, name="update_block")(
+        net, delta_flow = GMAUpdateBlock(c, name="update_block")(
             net, inp, corr, flow, attention)
         coords1 = coords1 + delta_flow
         if c.upsample_all:
-            y = convex_upsample_flow_b(coords1 - coords0, up_mask)
+            # per-iteration (net, low-res flow); the mask head + convex
+            # upsample run batched over all iterations AFTER the scan
+            y = (net, coords1 - coords0)
         else:
             y = jnp.zeros((), coords1.dtype)
-        return (net, coords1, up_mask), y
+        return (net, coords1), y
 
 
 class MemoryDecoder(nn.Module):
@@ -619,14 +720,26 @@ class MemoryDecoder(nn.Module):
                        in_axes=nn.broadcast, out_axes=0,
                        length=c.decoder_depth)
         consts = (inp, attention, cost_maps, key, value, coords0)
-        up_mask0 = jnp.zeros((B, H1, W1, 64 * 9), context.dtype)
-        (net, coords1, up_mask), flows = scan(c, name="iteration")(
-            (net, coords0, up_mask0), consts)
+        (net, coords1), ys = scan(c, name="iteration")(
+            (net, coords0), consts)
+        mask_head = MaskHead(name="mask_head")
         if c.upsample_all:
-            flow_predictions = [flows[i] for i in range(c.decoder_depth)]
+            # ONE batched mask-head + convex-upsample pass over all
+            # iterations (depth folds into the batch dim) instead of 12
+            # small in-scan ops
+            nets, flows_lr = ys           # (d, B, H1, W1, 128/2)
+            d = c.decoder_depth
+            up_mask = mask_head(nets.reshape((d * B, H1, W1, -1)))
+            flows = convex_upsample_flow_b(
+                flows_lr.reshape((d * B, H1, W1, 2)), up_mask)
+            flows = flows.reshape((d, B) + flows.shape[1:])
+            flow_predictions = [flows[i] for i in range(d)]
         else:
-            flow_predictions = [convex_upsample_flow_b(coords1 - coords0,
-                                                       up_mask)]
+            # inference only upsamples the final flow, so only the final
+            # net pays the mask head (the reference pays it every
+            # iteration, gru.py:325-330)
+            flow_predictions = [convex_upsample_flow_b(
+                coords1 - coords0, mask_head(net))]
         return flow_predictions, coords1 - coords0
 
 

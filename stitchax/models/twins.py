@@ -20,8 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pallas.gsa_attention import gsa_attention
-from ..ops.pallas.window_attention import (window_attention_pallas,
-                                           window_attention_ref)
+from ..ops.window_attention import window_attention
 from .layers import (Mlp, linear_position_embedding_sine, pad_to_multiple,
                      window_merge, window_partition)
 
@@ -75,8 +74,8 @@ class LocallyGroupedAttn(nn.Module):
         T = self.ws * self.ws
         q_bias = jnp.broadcast_to(bq, (T, self.dim))
         k_bias = jnp.broadcast_to(bk, (T, self.dim))
-        out = window_attention_ref(qx, kx, vx, q_bias, k_bias, bv,
-                                   heads=self.num_heads, ws=self.ws)
+        out = window_attention(qx, kx, vx, q_bias, k_bias, bv,
+                               heads=self.num_heads, ws=self.ws)
         return nn.Dense(self.dim, name="proj")(out)
 
 
@@ -181,12 +180,12 @@ class LocallyGroupedAttnRPEContext(nn.Module):
     projected context concatenated to the q/k stream (twins.py:229-304).
 
     TPU-native formulation: the q/k/v projections run bias-free on the
-    unpadded NHWC map (large MXU matmuls), and the window partition +
-    per-window attention is a fused Pallas kernel
-    (stitchax/ops/pallas/window_attention.py). Because the reference adds
-    the RPE before the projections and zero-pads the token map, padded
-    tokens reduce exactly to the per-window-position biases the kernel
-    adds — bit-identical semantics, no masks, no 6D layout churn."""
+    unpadded NHWC map (large MXU matmuls); the window partition +
+    per-window attention is the shared core in ops/window_attention.py.
+    Because the reference adds the RPE before the projections and
+    zero-pads the token map, padded tokens reduce exactly to the
+    per-window-position biases the core adds — bit-identical semantics,
+    no masks on the hot path."""
     dim: int
     num_heads: int
     ws: int
@@ -225,24 +224,14 @@ class LocallyGroupedAttnRPEContext(nn.Module):
         kx = k_d(x_qk) - b_k
         vx = v_d(x) - v_bias
 
-        # Dispatch (measured on v5e at the bench operating point
-        # (64, 64, 64, 128) bf16, tools/exp_window_attn.py): the XLA
-        # partition+einsum lowering runs 12.99 ms — of which the 6D
-        # partition transposes are only 1.95 ms; the rest is 51k
-        # (49,16)x(16,49) MXU dispatches — while the Pallas strip kernel
-        # runs 28 ms (per-program overhead x 640 grid steps). XLA stays
-        # the default until the kernel beats it; set
-        # STITCHAX_WINDOW_ATTN=pallas to opt in.
-        import os
-        if (jax.default_backend() == "tpu"
-                and os.environ.get("STITCHAX_WINDOW_ATTN") == "pallas"):
-            out = window_attention_pallas(
-                qx, kx, vx, q_bias, k_bias, v_bias,
-                heads=self.num_heads, ws=self.ws)
-        else:
-            out = window_attention_ref(
-                qx, kx, vx, q_bias, k_bias, v_bias,
-                heads=self.num_heads, ws=self.ws)
+        # The Pallas strip kernel was measured slower than XLA at the
+        # production shape even after batching windows per program
+        # (16.1 vs 12.9 ms at (64, 64, 64, 128) bf16) and was retired;
+        # the kernel + measurements live in tools/exp_window_attn.py and
+        # the XLA formulation choice in ops/window_attention.py.
+        out = window_attention(
+            qx, kx, vx, q_bias, k_bias, v_bias,
+            heads=self.num_heads, ws=self.ws)
         return nn.Dense(self.dim, name="proj")(out)
 
 

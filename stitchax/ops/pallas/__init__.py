@@ -2,15 +2,18 @@
 
   * tps_kernel — fused TPS radial-basis evaluation over the output grid
     (never materializes the (pixels x centers) U matrix in HBM)
-  * window_attention — fused windowed MHA for the twins LSA blocks (window
-    restructuring in VMEM, head-masked full-width MXU matmuls)
+  * gsa_attention — fused subsampled global attention for the twins GSA
+    blocks
 
 Neighborhood attention lives in stitchax.ops.neighborhood_attention: it is
 a pure-XLA take/einsum formulation (fast on TPU), not a Pallas kernel.
+The windowed-LSA kernel was retired after losing to XLA at the production
+shape (16.1 vs 12.9 ms at (64, 64, 64, 128) bf16 even with multi-window
+batching per program); the kernel and its measurements live in
+tools/exp_window_attn.py, and the production XLA formulations in
+stitchax/ops/window_attention.py.
 """
 
 from .tps_kernel import tps_eval_grid, tps_eval_grid_pallas, tps_eval_grid_ref
-from .window_attention import window_attention_pallas, window_attention_ref
 
-__all__ = ["tps_eval_grid", "tps_eval_grid_pallas", "tps_eval_grid_ref",
-           "window_attention_pallas", "window_attention_ref"]
+__all__ = ["tps_eval_grid", "tps_eval_grid_pallas", "tps_eval_grid_ref"]

@@ -1,10 +1,12 @@
-"""Parity: windowed encode_flow_token vs the gather-based oracle."""
+"""Parity: windowed encode_flow_token (and the row-take variant) vs the
+gather-based oracle."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from stitchax.models.flowformer import (encode_flow_token,
-                                        encode_flow_token_gather)
+                                        encode_flow_token_gather,
+                                        encode_flow_token_rowtake)
 
 
 def test_windowed_matches_gather(rng):
@@ -16,6 +18,8 @@ def test_windowed_matches_gather(rng):
     a = np.asarray(encode_flow_token_gather(cm, coords, r=4))
     b = np.asarray(encode_flow_token(cm, coords, r=4))
     np.testing.assert_allclose(b, a, atol=2e-5)
+    c = np.asarray(encode_flow_token_rowtake(cm, coords, r=4))
+    np.testing.assert_allclose(c, a, atol=2e-5)
 
 
 def test_windowed_matches_gather_r1(rng):

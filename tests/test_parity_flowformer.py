@@ -147,13 +147,13 @@ class TestGMA:
                               "convz2", "convr2", "convq2")},
             "flow_head": {n: convert._convp(sd, f"u.flow_head.{n}")
                           for n in ("conv1", "conv2")},
-            "mask1": convert._convp(sd, "u.mask.0"),
-            "mask2": convert._convp(sd, "u.mask.2"),
             "aggregator": {
                 "to_v": convert._convp(sd, "u.aggregator.to_v"),
                 "gamma": convert._np(sd["u.aggregator.gamma"]),
             },
         }
+        mask_params = {"mask1": convert._convp(sd, "u.mask.0"),
+                       "mask2": convert._convp(sd, "u.mask.2")}
         H, W = 8, 10
         corr_ch = 81 + 64
         net = rng.normal(0, 1, (1, 128, H, W)).astype(np.float32)
@@ -165,11 +165,13 @@ class TestGMA:
         with torch.no_grad():
             w_net, w_mask, w_flow = ref(_t(net), _t(inp), _t(corr),
                                         _t(flow), _t(attn))
-        g_net, g_mask, g_flow = ffm.GMAUpdateBlock(
+        g_net, g_flow = ffm.GMAUpdateBlock(
             ffm.FlowFormerConfig()).apply(
             {"params": params}, jnp.asarray(_nhwc(net)),
             jnp.asarray(_nhwc(inp)), jnp.asarray(_nhwc(corr)),
             jnp.asarray(_nhwc(flow)), jnp.asarray(attn[:, 0]))
+        # the upsample-mask branch lives in MaskHead at the decoder level
+        g_mask = ffm.MaskHead().apply({"params": mask_params}, g_net)
         np.testing.assert_allclose(_nchw(g_net), w_net.numpy(),
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(_nchw(g_mask), w_mask.numpy(),

@@ -74,9 +74,15 @@ def main():
     flow = jnp.asarray(rng.standard_normal((B, H1, W1, 2)), jnp.float32)
     ub = GMAUpdateBlock(cfg)
     up = jax.jit(ub.init)(k, net, inp, corr, flow, attn)
-    timed("update block (motion+GMA+GRU+heads)",
+    timed("update block (motion+GMA+GRU+flow head)",
           jax.jit(lambda p, *a: ub.apply(p, *a)), up, net, inp, corr, flow,
           attn)
+
+    from stitchax.models.flowformer import MaskHead
+    mh = MaskHead()
+    mp = jax.jit(mh.init)(k, net)
+    timed("mask head (once per fwd at inference)",
+          jax.jit(lambda p, n: mh.apply(p, n)), mp, net)
 
     mask = mk(B, H1, W1, 64 * 9)
     timed("convex upsample (final only now)",
