@@ -63,25 +63,26 @@ def main():
     step = st._model_step((H, W))
     out = timeit("align model step (b1)", lambda: step(i1, i2))
 
-    width_min = float(out["width_min"])
-    height_min = float(out["height_min"])
-    out_w = bucket_canvas(int(float(out["width_max"]) - width_min),
+    # canvas bounds are per-pair (B,) arrays since the batched align step
+    width_min = float(out["width_min"][0])
+    height_min = float(out["height_min"][0])
+    out_w = bucket_canvas(int(float(out["width_max"][0]) - width_min),
                           a.canvas_bucket, a.max_canvas)
-    out_h = bucket_canvas(int(float(out["height_max"]) - height_min),
+    out_h = bucket_canvas(int(float(out["height_max"][0]) - height_min),
                           a.canvas_bucket, a.max_canvas)
     print(f"canvas bucket: {out_h}x{out_w}")
 
     render = st._render_step((H, W), out_h, out_w)
+    wm0, hm0 = out["width_min"][0], out["height_min"][0]
     r = timeit("canvas render", lambda: render(
         i1, i2, out["H"], out["flow"], out.get("origin_occlusion_mask"),
-        out["width_min"], out["height_min"]))
+        wm0, hm0))
 
     tps = st._tps_step((H, W), out_h, out_w)
     occ0 = r["occlusion_mask"][0]
     t = timeit("tps break + mix + inpaint", lambda: tps(
         r["output1"][0], r["mask1"][0], r["H_warp"][0], r["H_warp_mask"][0],
-        r["final_warp"][0], out["flow"][0], out["width_min"],
-        out["height_min"], occ0, None))
+        r["final_warp"][0], out["flow"][0], wm0, hm0, occ0, None))
 
     # grouped align: one batch-2 model step shared by two pairs
     step2 = st._model_step((H, W), 2)
