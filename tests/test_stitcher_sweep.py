@@ -1,0 +1,89 @@
+"""stitch_and_save_many sweep semantics with the grouped align path:
+mixed input shapes force group flushes, a missing-file job is isolated
+without stopping the sweep, and per-pair outputs match the one-shot
+stitch_and_save (reference behavior: out.py's per-pair loop writes each
+pair's files and a failure skips only that pair)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from stitchax.align.adapter import AlignConfig
+from stitchax.run.stitcher import Stitcher
+from stitchax.tps.pipeline import TPSConfig
+
+
+class _Cfg(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def _write_pair(root, name, rng, H, W, shift=24):
+    base = rng.uniform(40, 215, (H // 8, (W + shift) // 8, 3))
+    scene = np.asarray(Image.fromarray(base.astype(np.uint8)).resize(
+        (W + shift, H), Image.BILINEAR), np.uint8)
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    Image.fromarray(scene[:, :W]).save(os.path.join(d, "input1.jpg"))
+    Image.fromarray(scene[:, shift:]).save(os.path.join(d, "input2.jpg"))
+    return {"DATA_PATH": d, "IMG1": "input1.jpg", "IMG2": "input2.jpg"}
+
+
+def _stitcher(shift=24, W=160):
+    S = 512
+
+    def homo_fn(a, b):
+        dx = -shift * (S / W)
+        off = jnp.array([[dx, 0, dx, 0, dx, 0, dx, 0]], jnp.float32)
+        return jnp.broadcast_to(off, (a.shape[0], 8))
+
+    def flow_fn(a, b):
+        zero = jnp.zeros(a.shape[:3] + (2,), a.dtype)
+        return [zero], zero[:, ::8, ::8]
+
+    return Stitcher(None, _Cfg(swap_image=False),
+                    AlignConfig(use_fb_consistency_mask=False,
+                                canvas_bucket=64),
+                    TPSConfig(grid_h=8, grid_w=8),
+                    inpainter_name="cv_inpainter",
+                    homo_fn=homo_fn, flow_fn=flow_fn)
+
+
+def test_sweep_grouped_mixed_shapes_and_failure(tmp_path, rng):
+    root = str(tmp_path)
+    # two same-shape pairs (one grouped step), one different shape (forces
+    # a flush), one job with a missing file (isolated failure)
+    jobs = [
+        (_write_pair(root, "a", rng, 128, 160), os.path.join(root, "out/a")),
+        (_write_pair(root, "b", rng, 128, 160), os.path.join(root, "out/b")),
+        ({"DATA_PATH": root, "IMG1": "missing.jpg", "IMG2": "missing.jpg"},
+         os.path.join(root, "out/broken")),
+        (_write_pair(root, "c", rng, 128, 224), os.path.join(root, "out/c")),
+    ]
+    st = _stitcher()
+    results = st.stitch_and_save_many(jobs)
+
+    errs = dict(results)
+    assert len(results) == 4
+    assert errs[os.path.join(root, "out/broken")] is not None
+    for name in ("a", "b", "c"):
+        rp = os.path.join(root, "out", name)
+        assert errs[rp] is None
+        assert os.path.exists(os.path.join(rp, "ave_fusion.jpg")), name
+    assert not os.path.exists(os.path.join(root, "out/broken",
+                                           "ave_fusion.jpg"))
+
+    # grouped sweep output == one-shot output for a grouped pair
+    one = os.path.join(root, "out/one")
+    st2 = _stitcher()
+    st2.stitch_and_save(jobs[0][0], one)
+    a = np.asarray(Image.open(os.path.join(root, "out/a/ave_fusion.jpg")),
+                   np.float32)
+    b = np.asarray(Image.open(os.path.join(one, "ave_fusion.jpg")),
+                   np.float32)
+    np.testing.assert_array_equal(a, b)
