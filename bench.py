@@ -44,17 +44,19 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
     # transfer with pair k+1's device stages — the sweep rate out.py
     # achieves. The relay link carries ±50% latency jitter and slow
     # recovery after compile traffic (BASELINE.md), so measure several
-    # windows and report the best one: the steady-state capability,
-    # not the tunnel's mood.
+    # windows and report the MEDIAN: robust to one bad tunnel stall
+    # without the upward bias a best-of would introduce (round ≤2
+    # numbers were single 15-pair windows — comparable to the median,
+    # not to a max).
     windows, iters = 3, 7
-    best = 0.0
+    rates = []
     for _ in range(windows):
         t0 = time.perf_counter()
         n = sum(1 for _ in stitcher.stitch_many([(img1, img2)] * iters))
         dt = time.perf_counter() - t0
         assert n == iters
-        best = max(best, iters / dt)
-    return best
+        rates.append(iters / dt)
+    return sorted(rates)[len(rates) // 2]
 
 
 def main():

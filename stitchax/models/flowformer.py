@@ -69,14 +69,6 @@ class FlowFormerConfig:
     # the single upsample after the loop (reference semantics unchanged:
     # its intermediate predictions are unused at test time).
     upsample_all: bool = True
-    # Decoder cost-lookup formulation: 'selector' contracts the FULL
-    # per-pixel cost map against sparse bilinear selector matmuls (reads
-    # the whole 268 MB cost volume every iteration, matmul-only — the
-    # right default for training, whose VJP stays matmul-shaped);
-    # 'rowtake' gathers just the win+1 rows each pixel can touch and
-    # lerps vertically on the VPU (~6x less HBM per iteration). Both are
-    # bit-compatible (tools/exp_flow_token.py).
-    lookup_impl: str = "selector"   # 'selector' | 'rowtake'
 
 
 class CostMapPatchEmbed(nn.Module):
@@ -577,7 +569,10 @@ def encode_flow_token_rowtake(cost_maps, coords, r: int = 4):
     Bit-compatible with encode_flow_token (exact zero OOB semantics, same
     x-major channel order) but reads only the win+1 cost-map rows each
     pixel can touch instead of the full volume — ~6x less HBM traffic
-    per decoder iteration (tools/exp_flow_token.py)."""
+    per decoder iteration. MEASURED SLOWER on v5e (7.27 vs 3.20 ms at
+    the bench shape — the row gather costs more than the dense read,
+    tools/exp_flow_token.py), so the decoder does not dispatch to it;
+    kept parity-tested as the documented record."""
     B, H1, W1, H2, W2, heads = cost_maps.shape
     P = B * H1 * W1
     win = 2 * r + 1
@@ -656,9 +651,7 @@ class DecoderIteration(nn.Module):
         B, H1, W1, _ = coords1.shape
 
         coords1 = jax.lax.stop_gradient(coords1)
-        lookup = (encode_flow_token_rowtake if c.lookup_impl == "rowtake"
-                  else encode_flow_token)
-        cost_forward = lookup(cost_maps, coords1, r=c.lookup_radius)
+        cost_forward = encode_flow_token(cost_maps, coords1, r=c.lookup_radius)
 
         q = nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc1")(cost_forward)
         q = nn.gelu(q, approximate=False)
@@ -836,12 +829,13 @@ class FlowFormerPretrain(nn.Module):
         c = self.cfg
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
+        # per-axis inner crop: slice each axis independently so a single
+        # nonzero offset does not turn the other axis into `0:-0` (empty)
         Ho, Wo = c.H_offset, c.W_offset
-        if Ho or Wo:
-            image1_inner = image1[:, Ho:-Ho, Wo:-Wo]
-            image2_inner = image2[:, Ho:-Ho, Wo:-Wo]
-        else:  # shipped pic_size has equal inner/outer frames
-            image1_inner, image2_inner = image1, image2
+        H, W = image1.shape[1], image1.shape[2]
+        sl = (slice(None), slice(Ho, H - Ho), slice(Wo, W - Wo))
+        image1_inner = image1[sl]
+        image2_inner = image2[sl]
 
         context, _ = self.context_encoder(image1_inner)
         x, cv_outer, cv_inner = self.memory_encoder.pretrain(

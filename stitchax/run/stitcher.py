@@ -345,28 +345,30 @@ class Stitcher:
         lookahead is not always enough to keep the link busy).
 
         Consecutive same-shape pairs additionally share ONE batched align
-        model step per `align_batch` group (~30% cheaper per pair on
-        device than batch-1 steps); compile cost stays bounded at two
-        model programs per input shape (batch `align_batch` + batch 1 for
-        remainders). Yields one result dict per pair, in order."""
+        model step per full `align_batch` group (~30% cheaper per pair on
+        device than batch-1 steps); remainder/odd-size groups dispatch
+        pair-by-pair so compile cost stays bounded at two model programs
+        per input shape (batch `align_batch` + batch 1) regardless of
+        sweep composition. Yields one result dict per pair, in order."""
         from collections import deque
         pending = deque()
         group: List = []
 
         def flush():
             nonlocal group
-            if not group:
-                return []
-            if len(group) > 1:
+            if len(group) == align_batch and align_batch > 1:
                 states = self._stitch_device_group(group)
             else:
-                states = [self._stitch_device(*group[0])]
+                states = [self._stitch_device(*g) for g in group]
             group = []
             return states
 
         for img1, img2 in pairs:
             img1, img2 = self._prep_pair_images(img1, img2)
-            if group and img1.shape != group[-1][0].shape:
+            # group on BOTH shapes: one batched step stacks img1s and
+            # img2s, so each must be uniform within a group
+            if group and (img1.shape, img2.shape) != (
+                    group[-1][0].shape, group[-1][1].shape):
                 pending.extend(flush())
             group.append((img1, img2))
             if len(group) == align_batch:
@@ -402,7 +404,9 @@ class Stitcher:
         pack; host-blocks only on the single (G, 4) canvas-box fetch."""
         pairs = [self._prep_pair_images(i1, i2) for i1, i2 in pairs]
         H, W = pairs[0][0].shape[:2]
-        assert all(p[0].shape[:2] == (H, W) for p in pairs), \
+        s2 = pairs[0][1].shape
+        assert all(p[0].shape[:2] == (H, W) and p[1].shape == s2
+                   for p in pairs), \
             "grouped pairs must share one (bucketed) input shape"
         G = len(pairs)
         i1 = jnp.asarray(np.stack([p[0] for p in pairs]))
@@ -602,7 +606,9 @@ class Stitcher:
             nonlocal group
             if not group:
                 return
-            if len(group) > 1:
+            # only full groups take the batched program: odd remainder
+            # sizes would each compile another ~5-min model program
+            if len(group) == align_batch and align_batch > 1:
                 try:
                     states = self._stitch_device_group(
                         [(g[0], g[1]) for g in group])
@@ -625,7 +631,8 @@ class Stitcher:
                 flush()
                 pending.append((None, result_path, None, None, e))
                 continue
-            if group and img1.shape != group[-1][0].shape:
+            if group and (img1.shape, img2.shape) != (
+                    group[-1][0].shape, group[-1][1].shape):
                 flush()
             group.append((img1, img2, result_path))
             if len(group) == align_batch:

@@ -10,9 +10,9 @@ horizontal tap as a small selector matmul.
 
 MEASURED (v5e, 2026-08-17): selector 3.20 ms, row-take 7.27 ms — the
 (P, 10)-row gather lowering costs more than the dense matmul's full
-volume read. Selector stays the production default; the row-take code
-path is kept in flowformer.py (cfg.lookup_impl) as the documented
-loser, parity-tested.
+volume read. Selector stays the production path; the row-take
+formulation is kept in flowformer.py as a parity-tested documented
+loser (not dispatched by the decoder).
 
 Usage: python tools/exp_flow_token.py
 """
@@ -30,37 +30,7 @@ import jax.numpy as jnp          # noqa: E402
 import numpy as np               # noqa: E402
 
 from stitchax.models.flowformer import (  # noqa: E402
-    _bilinear_selector, encode_flow_token)
-
-
-def encode_flow_token_rowtake(cost_maps, coords, r: int = 4):
-    """Row-gather + VPU vertical lerp + horizontal selector matmul.
-    Bit-compatible OOB semantics with the selector form (exact zeros)."""
-    B, H1, W1, H2, W2, heads = cost_maps.shape
-    P = B * H1 * W1
-    win = 2 * r + 1
-    cm = cost_maps.reshape(P, H2, W2 * heads)
-    cen = coords.reshape(P, 2)
-
-    cy = cen[:, 1]
-    y0 = jnp.floor(cy).astype(jnp.int32) - r          # first row of window
-    t = jnp.arange(win + 1, dtype=jnp.int32)
-    idx = y0[:, None] + t[None]                        # (P, win+1)
-    valid = (idx >= 0) & (idx < H2)
-    rows = jnp.take_along_axis(
-        cm, jnp.clip(idx, 0, H2 - 1)[:, :, None], axis=1)  # (P, win+1, W2h)
-    rows = rows * valid[:, :, None].astype(cm.dtype)
-
-    fy = (cy - jnp.floor(cy)).astype(jnp.float32)[:, None, None]
-    v = ((1.0 - fy) * rows[:, :win].astype(jnp.float32)
-         + fy * rows[:, 1:].astype(jnp.float32)).astype(cm.dtype)
-
-    Sx = _bilinear_selector(cen[:, 0], W2, r).astype(cm.dtype)
-    v = v.reshape(P, win, W2, heads)
-    s = jnp.einsum("pax,ptxh->ptah", Sx, v,
-                   preferred_element_type=jnp.float32)
-    s = s.transpose(0, 2, 1, 3).astype(coords.dtype)
-    return s.reshape(B, H1, W1, win * win * heads)
+    encode_flow_token, encode_flow_token_rowtake)
 
 
 def timed(name, fn, *args, iters=20):
