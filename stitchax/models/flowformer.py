@@ -353,21 +353,51 @@ class MemoryEncoder(nn.Module):
 # --------------------------- decoder ---------------------------------------
 
 
+def _row_chunk(n: int, target: int = 1024) -> int:
+    """Largest divisor of n that is <= target (n itself if n <= target)."""
+    if n <= target:
+        return n
+    for c in range(target, 0, -1):
+        if n % c == 0:
+            return c
+    return n
+
+
 class GmaAttention(nn.Module):
     """Self-similarity attention over context features, 1 head
-    (reference: gma.py:34-76)."""
+    (reference: gma.py:34-76). The (B, N, N) attention IS materialized —
+    the decoder scan reuses it every iteration, and recomputing it
+    flash-style per iteration measures 11.79 vs 8.61 ms for the reuse
+    (tools/exp_gma.py) — but it is BUILT in query-row chunks so the fp32
+    pre-softmax similarity never exists as a full (B, N, N) tensor:
+    4.66 -> 3.18 ms one-time at the bench point."""
     dim: int = 128
     dim_head: int = 128
 
     @nn.compact
     def __call__(self, fmap):  # (B, H, W, C)
         B, H, W, C = fmap.shape
+        N = H * W
         qk = nn.Conv(self.dim_head * 2, (1, 1), use_bias=False, name="to_qk")(fmap)
         q, k = jnp.split(qk, 2, axis=-1)
-        q = q * (self.dim_head ** -0.5)
-        sim = jnp.einsum("bxyd,buvd->bxyuv", q, k)
-        sim = sim.reshape(B, H * W, H * W)
-        return jax.nn.softmax(sim, axis=-1)
+        q = (q * (self.dim_head ** -0.5)).reshape(B, N, self.dim_head)
+        k = k.reshape(B, N, self.dim_head)
+
+        chunk = _row_chunk(N)
+        if chunk == N:
+            sim = jnp.einsum("bnd,bmd->bnm", q, k,
+                             preferred_element_type=jnp.float32)
+            return jax.nn.softmax(sim, axis=-1).astype(fmap.dtype)
+
+        qb = q.reshape(B, N // chunk, chunk, self.dim_head).transpose(1, 0, 2, 3)
+
+        def row_block(qc):  # (B, chunk, d) -> (B, chunk, N)
+            s = jnp.einsum("bcd,bmd->bcm", qc, k,
+                           preferred_element_type=jnp.float32)
+            return jax.nn.softmax(s, axis=-1).astype(fmap.dtype)
+
+        attn = jax.lax.map(row_block, qb)
+        return attn.transpose(1, 0, 2, 3).reshape(B, N, N)
 
 
 class GmaAggregate(nn.Module):

@@ -102,12 +102,15 @@ class TestGRU:
 
 
 class TestGMA:
-    def test_attention(self, refs, rng):
-        ref = refs["gma"].Attention(args=ARGS, dim=128, max_pos_size=32,
+    # 8x9 = 72 tokens takes GmaAttention's dense path; 40x40 = 1600
+    # exceeds the 1024-row chunk and takes the blocked-softmax build
+    @pytest.mark.parametrize("shape", [(2, 128, 8, 9), (1, 128, 40, 40)])
+    def test_attention(self, refs, rng, shape):
+        ref = refs["gma"].Attention(args=ARGS, dim=128, max_pos_size=64,
                                     heads=1, dim_head=128).eval()
         sd = _prefixed(ref, "a")
         params = {"to_qk": convert._convp(sd, "a.to_qk")}
-        fmap = rng.normal(0, 1, (2, 128, 8, 9)).astype(np.float32)
+        fmap = rng.normal(0, 1, shape).astype(np.float32)
         with torch.no_grad():
             want = ref(_t(fmap)).numpy()  # (B, 1, N, N)
         got = ffm.GmaAttention().apply({"params": params},

@@ -87,3 +87,26 @@ def test_sweep_grouped_mixed_shapes_and_failure(tmp_path, rng):
     b = np.asarray(Image.open(os.path.join(one, "ave_fusion.jpg")),
                    np.float32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sweep_group_program_budget(rng):
+    """An odd-length same-shape sweep compiles exactly TWO align model
+    programs (batch align_batch for the full groups + batch 1 for the
+    remainder) — never a per-remainder-size program (each distinct
+    program costs ~5 min through the remote-compile tunnel)."""
+    H, W, shift = 128, 160, 24
+    base = rng.uniform(40, 215, (H, W + shift, 3)).astype(np.float32)
+    pairs = [(base[:, :W] + i, base[:, shift:] + i) for i in range(5)]
+
+    st = _stitcher()
+    results = list(st.stitch_many(pairs, align_batch=2))
+    assert len(results) == 5
+    model_keys = {k for k in st.compile_events if k[0] == "model"}
+    batches = sorted(k[2] for k in model_keys)
+    assert batches == [1, 2], st.compile_events
+
+    # per-pair path produces identical outputs for the remainder pair
+    st2 = _stitcher()
+    solo = st2.stitch(*pairs[4])
+    np.testing.assert_array_equal(results[4]["ave_fusion"],
+                                  solo["ave_fusion"])
