@@ -353,16 +353,6 @@ class MemoryEncoder(nn.Module):
 # --------------------------- decoder ---------------------------------------
 
 
-def _row_chunk(n: int, target: int = 1024) -> int:
-    """Largest divisor of n that is <= target (n itself if n <= target)."""
-    if n <= target:
-        return n
-    for c in range(target, 0, -1):
-        if n % c == 0:
-            return c
-    return n
-
-
 class GmaAttention(nn.Module):
     """Self-similarity attention over context features, 1 head
     (reference: gma.py:34-76). The (B, N, N) attention IS materialized —
@@ -370,7 +360,9 @@ class GmaAttention(nn.Module):
     flash-style per iteration measures 11.79 vs 8.61 ms for the reuse
     (tools/exp_gma.py) — but it is BUILT in query-row chunks so the fp32
     pre-softmax similarity never exists as a full (B, N, N) tensor:
-    4.66 -> 3.18 ms one-time at the bench point."""
+    4.66 -> 3.18 ms one-time at the bench point. Non-multiple-of-1024
+    token counts take full 1024-row chunks plus one remainder block
+    (never a cascade of tiny chunks)."""
     dim: int = 128
     dim_head: int = 128
 
@@ -383,21 +375,24 @@ class GmaAttention(nn.Module):
         q = (q * (self.dim_head ** -0.5)).reshape(B, N, self.dim_head)
         k = k.reshape(B, N, self.dim_head)
 
-        chunk = _row_chunk(N)
-        if chunk == N:
-            sim = jnp.einsum("bnd,bmd->bnm", q, k,
-                             preferred_element_type=jnp.float32)
-            return jax.nn.softmax(sim, axis=-1).astype(fmap.dtype)
-
-        qb = q.reshape(B, N // chunk, chunk, self.dim_head).transpose(1, 0, 2, 3)
-
-        def row_block(qc):  # (B, chunk, d) -> (B, chunk, N)
+        def rows_softmax(qc):  # (B, rows, d) -> (B, rows, N)
             s = jnp.einsum("bcd,bmd->bcm", qc, k,
                            preferred_element_type=jnp.float32)
             return jax.nn.softmax(s, axis=-1).astype(fmap.dtype)
 
-        attn = jax.lax.map(row_block, qb)
-        return attn.transpose(1, 0, 2, 3).reshape(B, N, N)
+        chunk = 1024
+        if N <= chunk:
+            return rows_softmax(q)
+
+        nfull = N // chunk
+        qfull = q if N % chunk == 0 else q[:, :nfull * chunk]
+        qb = qfull.reshape(B, nfull, chunk, self.dim_head).transpose(1, 0, 2, 3)
+        attn = jax.lax.map(rows_softmax, qb)
+        attn = attn.transpose(1, 0, 2, 3).reshape(B, nfull * chunk, N)
+        if N % chunk:
+            attn = jnp.concatenate(
+                [attn, rows_softmax(q[:, nfull * chunk:])], axis=1)
+        return attn
 
 
 class GmaAggregate(nn.Module):

@@ -102,9 +102,11 @@ class TestGRU:
 
 
 class TestGMA:
-    # 8x9 = 72 tokens takes GmaAttention's dense path; 40x40 = 1600
-    # exceeds the 1024-row chunk and takes the blocked-softmax build
-    @pytest.mark.parametrize("shape", [(2, 128, 8, 9), (1, 128, 40, 40)])
+    # 8x9 = 72 tokens takes GmaAttention's dense path; 32x64 = 2048 the
+    # blocked build with exact 1024-row chunks; 40x40 = 1600 the blocked
+    # build's chunks-plus-remainder path
+    @pytest.mark.parametrize("shape", [(2, 128, 8, 9), (1, 128, 32, 64),
+                                       (1, 128, 40, 40)])
     def test_attention(self, refs, rng, shape):
         ref = refs["gma"].Attention(args=ARGS, dim=128, max_pos_size=64,
                                     heads=1, dim_head=128).eval()

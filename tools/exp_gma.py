@@ -139,8 +139,8 @@ def main():
     err = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
     print(f"  build max abs err: {err:.3e}")
 
-    r1 = timed("dense-once + 12-iter reuse (shipped)", f_reuse_d, q, k, v0, w)
-    r2 = timed("blocked-once + 12-iter reuse", f_reuse_b, q, k, v0, w)
+    r1 = timed("dense-once + 12-iter reuse", f_reuse_d, q, k, v0, w)
+    r2 = timed("blocked-once + 12-iter reuse (SHIPPED)", f_reuse_b, q, k, v0, w)
     r3 = timed("flash-every-iter (no (B,N,N))", f_flash, q, k, v0, w)
     e2 = float(jnp.abs(r1.astype(jnp.float32) - r2.astype(jnp.float32)).max())
     e3 = float(jnp.abs(r1.astype(jnp.float32) - r3.astype(jnp.float32)).max())
