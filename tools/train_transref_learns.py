@@ -1,0 +1,232 @@
+"""Prove the reconstructed TransRef trainer LEARNS.
+
+Companion to tools/train_learns.py (which proves the alignment trainer
+learns): builds a synthetic reference-guided inpainting task from the demo
+images — ground truth = a demo image, reference = the same image resampled
+through a small random homography (relevant but misaligned content, exactly
+TransRef's role in the stitcher), holes = random rectangles — then drives
+the REAL TransRef training stack (stitchax.train.transref_trainer: set_input
+mean-fill, 1·L1 + 0.04·perceptual + 250·style objective per reference
+TransRef/train.py, Adam, mesh data-parallel) and measures on held-out
+triples:
+
+  * training loss trajectory (must decrease),
+  * hole-region PSNR of the model output vs ground truth (must improve
+    materially over the random-init value),
+  * the final hole PSNR must beat the mean-fill input itself (the network
+    has to earn its keep over the trivial baseline it starts from).
+
+Run (CPU mesh):
+  STITCHAX_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=2 \
+    python tools/train_transref_learns.py --steps 300 --batch 2
+
+Writes {out}/result.json + before/after panels; prints a PASS/FAIL verdict
+line per criterion. Numbers recorded in STATUS.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--size", type=int, default=256,
+                   help="TransRef minimum input size is 256")
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--n_train", type=int, default=24)
+    p.add_argument("--n_eval", type=int, default=4)
+    p.add_argument("--lr", type=float, default=2e-4,
+                   help="short-run lr (reference trains Adam 1e-4 for "
+                        "many epochs; a few hundred steps need more)")
+    p.add_argument("--eval_every", type=int, default=50)
+    p.add_argument("--corner_px", type=float, default=8.0)
+    p.add_argument("--out", type=str, default="/tmp/train_transref_learns")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def load_demo_images(size):
+    import numpy as np
+    from PIL import Image
+
+    demos = []
+    root = os.path.join(os.path.dirname(__file__), "..", "demo_data")
+    for d in sorted(os.listdir(root)):
+        for name in ("input1.jpg", "input2.jpg"):
+            f = os.path.join(root, d, name)
+            if os.path.isfile(f):
+                demos.append(np.asarray(
+                    Image.open(f).convert("RGB").resize(
+                        (size, size), Image.BILINEAR), np.float32))
+    assert demos, "no demo images found"
+    return demos
+
+
+def make_triples(size, n, corner_px, rng, mask_rng):
+    """(gt, ref, mask): ref = gt through a small random homography; mask =
+    random rectangles (1 = hole). gt/ref in [-1, 1]."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stitchax import ops
+    from stitchax.train.transref_trainer import random_rect_masks
+
+    demos = load_demo_images(size)
+    S = float(size)
+    src = np.array([[0, 0], [S, 0], [0, S], [S, S]], np.float32)
+    gts, refs = [], []
+    for i in range(n):
+        base = demos[i % len(demos)]
+        if rng.random() < 0.5:
+            base = base[:, ::-1]
+        base = np.clip(base * rng.uniform(0.8, 1.2), 0, 255)
+        offs = rng.uniform(-corner_px, corner_px, (4, 2)).astype(np.float32)
+        H = np.asarray(ops.dlt_solve(jnp.asarray(src[None]),
+                                     jnp.asarray((src + offs)[None])))[0]
+        grid = np.asarray(ops.coords_grid(size, size)).reshape(-1, 2)
+        warped = np.asarray(ops.apply_homography_to_points(
+            jnp.asarray(H), jnp.asarray(grid))).reshape(size, size, 2)
+        ref = np.asarray(ops.bilinear_sampler(jnp.asarray(base),
+                                              jnp.asarray(warped)))
+        gts.append(base / 127.5 - 1.0)
+        refs.append(np.asarray(ref, np.float32) / 127.5 - 1.0)
+    gt = np.stack(gts).astype(np.float32)
+    ref = np.stack(refs).astype(np.float32)
+    mask = np.asarray(random_rect_masks(mask_rng, n, size))
+    return gt, ref, mask
+
+
+def hole_psnr(out, gt, mask):
+    """PSNR over the hole region only, [0,255] domain. out/gt in [-1,1]."""
+    import numpy as np
+    a = (np.asarray(out, np.float64) + 1.0) * 127.5
+    b = (np.asarray(gt, np.float64) + 1.0) * 127.5
+    m = np.asarray(mask, np.float64)
+    mse = (((a - b) ** 2) * m).sum() / max(m.sum() * a.shape[-1], 1.0)
+    return float(10 * np.log10(255.0 ** 2 / max(mse, 1e-12)))
+
+
+def main():
+    args = get_args()
+    os.makedirs(args.out, exist_ok=True)
+    from stitchax.utils.platform import setup_cli_jax
+    setup_cli_jax()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stitchax.models.transref import TransRefBase
+    from stitchax.models.vgg import VGG16Features
+    from stitchax.parallel import (batch_sharding, make_mesh,
+                                   replicated_sharding, shard_batch)
+    from stitchax.train.transref_trainer import (TransRefLossConfig,
+                                                 make_transref_train_step,
+                                                 prepare_inputs)
+
+    rng = np.random.default_rng(args.seed)
+    k = jax.random.PRNGKey(args.seed)
+    k_train_mask, k_eval_mask, k_init = jax.random.split(k, 3)
+    gt, ref, mask = make_triples(args.size, args.n_train, args.corner_px,
+                                 rng, k_train_mask)
+    egt, eref, emask = make_triples(args.size, args.n_eval, args.corner_px,
+                                    rng, k_eval_mask)
+    egt_j, eref_j, emask_j = map(jnp.asarray, (egt, eref, emask))
+
+    model = TransRefBase()
+    S = args.size
+    img0 = jnp.zeros((1, S, S, 3), jnp.float32)
+    mask0 = jnp.zeros((1, S, S, 1), jnp.float32)
+    params = jax.jit(model.init)(k_init, img0, mask0, img0)
+    vgg = VGG16Features()
+    vgg_params = jax.jit(vgg.init)(k_init, img0)
+    print("NOTE: random-init VGG16 (no torchvision ckpt in this env) — "
+          "perceptual/style terms are untrained-feature losses; the "
+          "objective weights are still the reference's 1/0.04/250")
+    vgg_apply = lambda x: vgg.apply(vgg_params, x)
+
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+    train_step = make_transref_train_step(model, vgg_apply, tx,
+                                          TransRefLossConfig())
+    mesh = make_mesh()
+    repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+    pstep = jax.jit(train_step,
+                    in_shardings=(repl, repl, data, data, data),
+                    out_shardings=(repl, repl, repl),
+                    donate_argnums=(0, 1))
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    @jax.jit
+    def eval_out(params):
+        detail = prepare_inputs(egt_j, emask_j)
+        return detail, model.apply(params, detail, emask_j, eref_j)
+
+    detail0, out0 = eval_out(params)
+    psnr_meanfill = hole_psnr(np.asarray(detail0), egt, emask)
+    psnr_init = hole_psnr(np.asarray(out0), egt, emask)
+    print(f"[step 0] mean-fill hole PSNR {psnr_meanfill:.2f}  "
+          f"model hole PSNR {psnr_init:.2f}", flush=True)
+
+    history, losses = [], []
+    step = 0
+    order = np.arange(args.n_train)
+    while step < args.steps:
+        rng.shuffle(order)
+        for i0 in range(0, len(order) - args.batch + 1, args.batch):
+            if step >= args.steps:
+                break
+            sel = order[i0:i0 + args.batch]
+            bg, br, bm = (jnp.asarray(gt[sel]), jnp.asarray(ref[sel]),
+                          jnp.asarray(mask[sel]))
+            bg, br, bm = shard_batch((bg, br, bm), mesh)
+            params, opt_state, metrics = pstep(params, opt_state, bg, br, bm)
+            step += 1
+            losses.append(float(metrics["total"]))
+            if step % args.eval_every == 0 or step == args.steps:
+                _, out = eval_out(params)
+                p = hole_psnr(np.asarray(out), egt, emask)
+                history.append(dict(step=step, loss=losses[-1], hole_psnr=p))
+                print(f"[step {step}] loss {losses[-1]:.4f}  "
+                      f"hole PSNR {p:.2f}", flush=True)
+
+    # before/after panel on the first eval triple
+    try:
+        from PIL import Image
+        _, out = eval_out(params)
+        row = np.concatenate([
+            np.asarray(detail0)[0], np.asarray(out0)[0],
+            np.asarray(out)[0], egt[0]], axis=1)
+        row = np.clip((row + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        Image.fromarray(row).save(os.path.join(args.out, "panel_final.png"))
+    except Exception as e:  # noqa: BLE001
+        print(f"panel skipped: {e}")
+
+    first = float(np.mean(losses[:20]))
+    last = float(np.mean(losses[-20:]))
+    p_end = history[-1]["hole_psnr"]
+    checks = {
+        "loss_decreases": last < 0.8 * first,
+        "hole_psnr_improves_over_init": p_end > psnr_init + 2.0,
+        "beats_meanfill_baseline": p_end > psnr_meanfill,
+    }
+    result = dict(steps=args.steps, size=args.size, batch=args.batch,
+                  lr=args.lr, loss_first20=first, loss_last20=last,
+                  psnr_meanfill=psnr_meanfill, psnr_init=psnr_init,
+                  psnr_final=p_end, history=history, checks=checks)
+    with open(os.path.join(args.out, "result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    for name, ok in checks.items():
+        print(f"[{'PASS' if ok else 'FAIL'}] {name}")
+    print(json.dumps({k: v for k, v in result.items() if k != "history"}))
+
+
+if __name__ == "__main__":
+    main()
