@@ -1,0 +1,116 @@
+"""Demo-pair end-to-end golden test (SURVEY.md §4 test-pyramid item (d)).
+
+The reference's de facto smoke test is `out.py` over its bundled demo pairs
+producing inspectable JPEGs (reference out.py:266-308). This pins that path
+numerically: the REAL random-init model stack (FlowFormer + UDIS2 homography,
+seed 0) stitches the bundled demo_data/demo1 JPEGs at reduced resolution on
+CPU, and the result must match a committed golden canvas within a PSNR
+tolerance. Legitimate low-order numeric drift (op reformulations at 1e-3
+level) passes; geometry/orchestration regressions (wrong warp, mask, canvas,
+or mix arithmetic) fail loudly.
+
+Regenerate the golden after an INTENTIONAL pipeline-semantics change with:
+    python tests/test_demo_golden.py --regen
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "demo1_seed0_fastcv.npz")
+DEMO = os.path.join(os.path.dirname(__file__), "..", "demo_data", "demo1")
+
+
+class _Cfg(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def _load_demo_pair(size=(224, 192)):
+    from PIL import Image
+    out = []
+    for name in ("input1.jpg", "input2.jpg"):
+        im = Image.open(os.path.join(DEMO, name)).convert("RGB")
+        out.append(np.asarray(im.resize(size, Image.BILINEAR), np.float32))
+    return out
+
+
+def _stitch_demo():
+    from stitchax.align.adapter import AlignConfig
+    from stitchax.run.stitcher import StitchModels, Stitcher
+    from stitchax.tps.pipeline import TPSConfig
+
+    img1, img2 = _load_demo_pair()
+    cfg = _Cfg(swap_image=False)
+    models = StitchModels.build(cfg, rng_seed=0, use_composition=False,
+                                init_size=128)
+    st = Stitcher(models, cfg,
+                  AlignConfig(model_size=128, canvas_bucket=64),
+                  TPSConfig(grid_h=8, grid_w=8),
+                  inpainter_name="cv_inpainter",
+                  mix_method="all_img1_with_inpaint")
+    return st.stitch(img1, img2)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def test_demo1_matches_golden():
+    assert os.path.isfile(GOLDEN), (
+        "golden missing — run: python tests/test_demo_golden.py --regen")
+    want = np.load(GOLDEN)
+    out = _stitch_demo()
+
+    # the canvas footprint is part of the contract: random-init homography
+    # (seed 0) must keep producing the same bucketed canvas
+    got_ave = np.clip(out["ave_fusion"], 0, 255).astype(np.uint8)
+    assert got_ave.shape == want["ave_fusion"].shape, (
+        f"canvas changed: {got_ave.shape} vs {want['ave_fusion'].shape}")
+
+    for key in ("ave_fusion", "warp1", "warp2"):
+        got = np.clip(out[key], 0, 255).astype(np.uint8)
+        p = _psnr(got, want[key])
+        assert p > 30.0, f"{key}: PSNR vs golden {p:.2f} dB"
+
+    for key in ("mask1", "mask2"):
+        got = (np.asarray(out[key])[..., 0] > 0.5)
+        ref = want[key] > 127
+        agree = float((got == ref).mean())
+        assert agree > 0.99, f"{key}: mask agreement {agree:.4f}"
+
+
+def _regen():
+    out = _stitch_demo()
+    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+    np.savez_compressed(
+        GOLDEN,
+        ave_fusion=np.clip(out["ave_fusion"], 0, 255).astype(np.uint8),
+        warp1=np.clip(out["warp1"], 0, 255).astype(np.uint8),
+        warp2=np.clip(out["warp2"], 0, 255).astype(np.uint8),
+        mask1=(np.asarray(out["mask1"])[..., 0] * 255).astype(np.uint8),
+        mask2=(np.asarray(out["mask2"])[..., 0] * 255).astype(np.uint8),
+    )
+    print(f"wrote {GOLDEN}: ave_fusion {out['ave_fusion'].shape}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if "--regen" in sys.argv:
+        _regen()
+    else:
+        print("use --regen to regenerate the golden")
