@@ -47,4 +47,9 @@ def build_eval_config(args) -> CfgNode:
     cfg = CfgNode(model_dict)
     cfg.merge_from_dict(vars(args))
     cfg.batch_size = getattr(args, "batch_size", 12)
+    # --ckpt_path must win over the model config's restore_ckpt (same
+    # wiring as build_out_config above; without this the eval CLI
+    # silently ran random-init weights regardless of the flag)
+    if getattr(args, "ckpt_path", None):
+        cfg.restore_ckpt = args.ckpt_path
     return cfg

@@ -113,8 +113,23 @@ def main():
         use_fb_consistency_mask=cfg.get("use_fb_consistency_mask", True),
         remat=args.remat)
 
+    # relay-friendly wrapper: accept uint8 batches (4x less host->device
+    # traffic on the ~13 MB/s tunnel, CLAUDE.md) and stack the metric
+    # scalars into ONE vector so the per-step log costs a single fetch
+    # instead of one ~33 ms round-trip per metric
+    metric_names = []
+
+    def step_packed(state, img1, img2):
+        state, metrics = step_fn(state, img1.astype(jnp.float32),
+                                 img2.astype(jnp.float32))
+        names = sorted(metrics)
+        if not metric_names:        # filled at trace time
+            metric_names.extend(names)
+        return state, jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in names])
+
     mesh = make_mesh()
-    pstep = make_parallel_train_step(step_fn, mesh)
+    pstep = make_parallel_train_step(step_packed, mesh)
     state = jax.device_put(state, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec()))
 
@@ -134,16 +149,20 @@ def main():
             img1, img2 = batch["image1"], batch["image2"]
             if cfg.get("random_img12", True) and rng.random() < 0.5:
                 img1, img2 = img2, img1   # reference random_img12 swap
+            # uint8 upload: lossless vs the on-disk JPEGs modulo the <0.5
+            # gray-level resize rounding; cast back to f32 inside the step
             img1, img2 = shard_batch(
-                (jnp.asarray(img1), jnp.asarray(img2)), mesh)
-            state, metrics = pstep(state, img1, img2)
+                (jnp.asarray(np.asarray(img1, np.uint8)),
+                 jnp.asarray(np.asarray(img2, np.uint8))), mesh)
+            state, mvec = pstep(state, img1, img2)
             step += 1
-            logger.push({k: v for k, v in metrics.items()}, step=step)
+            logger.push(dict(zip(metric_names, np.asarray(mvec))), step=step)
             if args.panel_every and (step % args.panel_every == 0
                                      or step == num_steps):
                 # figure dashboard (reference logger.py plot_the_results)
                 from stitchax.utils.logger import save_train_dashboard
-                flow_fn = jax.jit(lambda p, a, b: flow_apply(p, a, b)[0][-1])
+                flow_fn = jax.jit(lambda p, a, b: flow_apply(
+                    p, a.astype(jnp.float32), b.astype(jnp.float32))[0][-1])
                 pred = flow_fn(state.params["flow"], img1[:1], img2[:1])
                 path = os.path.join(args.ckpt_dir,
                                     f"panel_{step:08d}.png")
@@ -156,6 +175,18 @@ def main():
                     args.ckpt_dir, f"step_{step:08d}"))
                 save_checkpoint(path, jax.device_get(state))
                 logger.info(f"saved checkpoint {path}")
+
+    # export the stitch/eval-format checkpoint under the reference's
+    # `final_ckpt` name (evaluate.py/out.py default --ckpt_path): plain
+    # {flow, homo} param trees loadable by StitchModels.restore
+    import orbax.checkpoint as ocp
+    final = os.path.abspath(os.path.join(args.ckpt_dir, "final_ckpt"))
+    host_params = jax.device_get(state.params)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(final, {"flow": host_params["flow"],
+                      "homo": host_params["homo"]}, force=True)
+    ckpt.wait_until_finished()
+    logger.info(f"exported eval-format checkpoint {final}")
     logger.info("training complete")
 
 
