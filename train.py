@@ -140,11 +140,29 @@ def main():
                 f"{len(loader.ds)} pairs, {len(mesh.devices)} devices")
 
     import numpy as np
+
+    # graceful stop: first SIGTERM/SIGINT finishes the in-flight step,
+    # saves a resumable checkpoint AND the eval-format final_ckpt, then
+    # exits cleanly (a long run killed by a scheduler/timeout keeps its
+    # work); a second signal falls back to the default handler
+    import signal
+    stop_requested = []
+
+    def _request_stop(signum, frame):
+        stop_requested.append(signum)
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+        logger.info(f"signal {signum}: stopping after the current step "
+                    "(next signal kills immediately)")
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
     step = int(state.step)
     rng = np.random.default_rng(args.seed)
-    while step < num_steps:
+    while step < num_steps and not stop_requested:
         for batch in loader:
-            if step >= num_steps:
+            if step >= num_steps or stop_requested:
                 break
             img1, img2 = batch["image1"], batch["image2"]
             if cfg.get("random_img12", True) and rng.random() < 0.5:
@@ -170,11 +188,16 @@ def main():
                     path, np.asarray(img1[0]), np.asarray(img2[0]),
                     np.asarray(pred[0]))
                 logger.info(f"saved dashboard {path}")
-            if step % args.save_every == 0 or step == num_steps:
+            if (step % args.save_every == 0 or step == num_steps
+                    or stop_requested):
                 path = os.path.abspath(os.path.join(
                     args.ckpt_dir, f"step_{step:08d}"))
                 save_checkpoint(path, jax.device_get(state))
                 logger.info(f"saved checkpoint {path}")
+
+    if stop_requested:
+        logger.info(f"stopped early at step {step} on signal "
+                    f"{stop_requested[0]}")
 
     # export the stitch/eval-format checkpoint under the reference's
     # `final_ckpt` name (evaluate.py/out.py default --ckpt_path): plain
