@@ -128,11 +128,25 @@ def main():
         ckptr.wait_until_finished()
         logger.info(f"saved checkpoint {path}")
 
+    # graceful stop (same contract as train.py): first SIGTERM/SIGINT
+    # finishes the in-flight step and saves; a second one kills
+    import signal
+    stop_requested = []
+
+    def _request_stop(signum, frame):
+        stop_requested.append(signum)
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+        logger.info(f"signal {signum}: stopping after the current step")
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
     step = step0
     mask_key = jax.random.PRNGKey(args.seed + 1)
-    while step < args.num_steps:
+    while step < args.num_steps and not stop_requested:
         for batch in loader:
-            if step >= args.num_steps:
+            if step >= args.num_steps or stop_requested:
                 break
             gt = jnp.asarray(batch["image1"]) / 127.5 - 1.0
             ref = (gt if args.ref_from == "self"
@@ -145,8 +159,12 @@ def main():
             step += 1
             logger.push({k: float(v) for k, v in metrics.items()},
                         step=step)
-            if step % args.save_every == 0 or step == args.num_steps:
+            if (step % args.save_every == 0 or step == args.num_steps
+                    or stop_requested):
                 save(step)
+    if stop_requested:
+        logger.info(f"stopped early at step {step} on signal "
+                    f"{stop_requested[0]}")
     logger.info("training complete")
 
 
