@@ -26,6 +26,11 @@ def get_args():
     p.add_argument("--result_dir", type=str, default="results")
     p.add_argument("--skip_if_avg_fusion_exists", action="store_true",
                    default=False)
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="partition the pair list across N independent "
+                        "processes/hosts (embarrassingly parallel sweep)")
+    p.add_argument("--shard_id", type=int, default=0,
+                   help="this process's shard index in [0, num_shards)")
     p.add_argument("--input_bucket", type=int, default=None,
                    help="round input dims up to this multiple (resize) so a "
                         "mixed-resolution sweep reuses a few compiled "
@@ -92,6 +97,17 @@ def main():
                         input_bucket=input_bucket)
 
     pairs = load_pair_list(args.data_root_path, args.txt_file)
+    # multi-host sweep sharding: the stitch sweep is embarrassingly
+    # parallel over pairs (SURVEY.md §2.10 — DCN-free; one chip per
+    # process), so N processes each take a strided slice of the list.
+    # Outputs/manifests land in the shared save_root per pair dir.
+    if not (0 <= args.shard_id < args.num_shards):
+        raise SystemExit(f"--shard_id {args.shard_id} outside "
+                         f"[0, {args.num_shards})")
+    if args.num_shards > 1:
+        pairs = pairs[args.shard_id::args.num_shards]
+        logger.info(f"shard {args.shard_id}/{args.num_shards}: "
+                    f"{len(pairs)} pairs")
     jobs = []
     for data_dict in pairs:
         rel = os.path.relpath(data_dict["DATA_PATH"], args.data_root_path)
