@@ -42,6 +42,9 @@ def get_args():
     p.add_argument("--corner_px", type=float, default=10.0)
     p.add_argument("--resid_px", type=float, default=3.0)
     p.add_argument("--out", type=str, default="/tmp/train_learns")
+    p.add_argument("--save_ckpt", action="store_true", default=False,
+                   help="also export {out}/final_ckpt in the eval/stitch "
+                        "checkpoint format (StitchModels.restore)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -235,6 +238,18 @@ def main():
                   history=history, checks=checks)
     with open(os.path.join(args.out, "result.json"), "w") as f:
         json.dump(result, f, indent=2)
+    if args.save_ckpt:
+        # eval/stitch-format {flow, homo} tree (same contract as
+        # train.py's final_ckpt export) so the learned weights can drive
+        # evaluate.py / out.py --ckpt_path afterwards
+        import orbax.checkpoint as ocp
+        final = os.path.abspath(os.path.join(args.out, "final_ckpt"))
+        host_params = jax.device_get(state.params)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(final, {"flow": host_params["flow"],
+                           "homo": host_params["homo"]}, force=True)
+        ckptr.wait_until_finished()
+        print(f"saved eval-format checkpoint {final}")
     for name, ok in checks.items():
         print(f"[{'PASS' if ok else 'FAIL'}] {name}")
     print(json.dumps({k: v for k, v in result.items() if k != "history"}))
