@@ -152,3 +152,29 @@ def save_flow_panel(path: str, image1, image2, flow, warped=None):
     fig.tight_layout()
     fig.savefig(path, dpi=80)
     plt.close(fig)
+
+
+def save_flow_quiver(path: str, flow, step: int = 20):
+    """Flow-magnitude heatmap + sparse quiver overlay (headless rebuild of
+    the reference's interactive debug helper, core/inference/vis_utils.py:
+    4-13 plot_quiver — plt.show() replaced by a saved figure). `flow` is
+    HW2 numpy, xy-last."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    flow = np.asarray(flow)
+    mag = np.hypot(flow[..., 0], flow[..., 1])
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(mag)
+    fig.colorbar(im, ax=ax)
+    ys = np.arange(0, flow.shape[0], step)
+    xs = np.arange(0, flow.shape[1], step)
+    ax.quiver(xs, ys, flow[::step, ::step, 0], flow[::step, ::step, 1],
+              color="white", angles="xy", scale_units="xy")
+    ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path

@@ -200,3 +200,21 @@ class TestChromatic:
         assert a2.min() >= 0 and a2.max() <= 255 and a2.shape == a.shape
         c = pca_lighting(nprng, a)
         assert c.min() >= 0 and c.max() <= 255
+
+
+class TestFigureHelpers:
+    def test_flow_quiver_and_panel_write_pngs(self, rng, tmp_path):
+        """Headless figure helpers (reference vis_utils.plot_quiver +
+        logger.plot_the_results rebuilds) must write valid non-empty PNGs."""
+        import os
+
+        from stitchax.utils.logger import save_flow_panel, save_flow_quiver
+
+        flow = rng.normal(size=(64, 80, 2)).astype("float32")
+        img = rng.uniform(0, 255, (64, 80, 3)).astype("float32")
+        q = save_flow_quiver(str(tmp_path / "q.png"), flow, step=16)
+        save_flow_panel(str(tmp_path / "p.png"), img, img, flow)
+        for f in (q, str(tmp_path / "p.png")):
+            assert os.path.getsize(f) > 1000
+            with open(f, "rb") as fh:
+                assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
