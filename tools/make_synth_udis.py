@@ -52,8 +52,8 @@ def warp_crop(scene, x0, W_out, H_out, jitter, rng):
     return np.asarray(out, np.float32)
 
 
-def make_pair(rng, H=480, W=640, shift=80, jitter=12.0):
-    scene = make_scene(rng, H, W + shift)
+def make_pair(rng, H=480, W=640, shift=80, jitter=12.0, cell=8):
+    scene = make_scene(rng, H, W + shift, cell=cell)
     img1 = scene[:, :W].copy()
     img2 = warp_crop(scene, shift, W, H, jitter, rng)
     # photometric jitter on input2 (exposure mismatch between shots)
@@ -84,8 +84,12 @@ def main():
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--shift", type=int, default=80)
+    p.add_argument("--cell", type=int, default=8,
+                   help="noise-base cell size in px; larger = smoother, "
+                        "more photo-like low-frequency scenes")
     args = p.parse_args()
-    kw = dict(H=args.height, W=args.width, shift=args.shift)
+    kw = dict(H=args.height, W=args.width, shift=args.shift,
+              cell=args.cell)
     write_split(args.root, "training", args.train_pairs, seed=1, **kw)
     write_split(args.root, "testing", args.test_pairs, seed=7, **kw)
 
