@@ -14,29 +14,45 @@ from typing import Dict, List
 import jax.numpy as jnp
 from flax import linen as nn
 
-# (name, out_channels, pool_before) mirroring torchvision vgg16.features
+# (name, out_channels, pool_before) mirroring torchvision vgg16.features.
+# conv5_2/conv5_3 are deliberately ABSENT: the reference's sliced VGG
+# reuses its relu5_1 block (pool + conv5_1 + relu) for relu5_2 and
+# relu5_3 (an upstream bug at loss.py:96-97 — `self.relu5_1(relu5_1)`),
+# so the torchvision conv5_2/conv5_3 weights are dead in its executed
+# loss. The forward below reproduces that exactly.
 VGG16_LAYOUT = [
     ("conv1_1", 64, False), ("conv1_2", 64, False),
     ("conv2_1", 128, True), ("conv2_2", 128, False),
     ("conv3_1", 256, True), ("conv3_2", 256, False), ("conv3_3", 256, False),
     ("conv4_1", 512, True), ("conv4_2", 512, False), ("conv4_3", 512, False),
-    ("conv5_1", 512, True), ("conv5_2", 512, False), ("conv5_3", 512, False),
+    ("conv5_1", 512, True),
 ]
 
 
 class VGG16Features(nn.Module):
-    """Returns the dict of reluX_Y activations (NHWC, inputs in [0, 1]
-    ImageNet-normalized by the caller if weights demand it)."""
+    """Returns the dict of reluX_Y activations (NHWC). The reference feeds
+    its loss VGG the raw [-1, 1] model outputs with NO ImageNet
+    normalization (TransRef.py:1023-1024 -> loss.py:79); callers should do
+    the same for parity."""
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         feats = {}
+        conv5_1 = None
         for name, ch, pool in VGG16_LAYOUT:
+            conv = nn.Conv(ch, (3, 3), padding="SAME", name=name)
+            if name == "conv5_1":
+                conv5_1 = conv
             if pool:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = nn.Conv(ch, (3, 3), padding="SAME", name=name)(x)
-            x = nn.relu(x)
+            x = nn.relu(conv(x))
             feats["relu" + name[4:]] = x
+        # reference quirk (loss.py:96-97): relu5_2/relu5_3 re-apply the
+        # relu5_1 block (pool + conv5_1 + relu) instead of conv5_2/conv5_3
+        block5_1 = lambda t: nn.relu(
+            conv5_1(nn.max_pool(t, (2, 2), strides=(2, 2))))
+        feats["relu5_2"] = block5_1(feats["relu5_1"])
+        feats["relu5_3"] = block5_1(feats["relu5_2"])
         return feats
 
 
@@ -70,10 +86,12 @@ def transref_total_loss(vgg_apply, pred, target, mask,
                         l1_weight: float = 1.0, perc_weight: float = 0.1,
                         style_weight: float = 250.0):
     """TransRef training objective: L1 + VGG perceptual + style Gram
-    (reference: TransRef.py:1021-1026). pred/target in [-1, 1] NHWC."""
+    (reference: TransRef.py:1021-1026). pred/target in [-1, 1] NHWC —
+    fed to the VGG RAW, with no [0,1] rescale or ImageNet normalization,
+    exactly as the reference does (loss.py:79,144)."""
     l1 = jnp.abs(pred - target).mean()
-    fx = vgg_apply((pred + 1) / 2)
-    fy = vgg_apply((target + 1) / 2)
+    fx = vgg_apply(pred)
+    fy = vgg_apply(target)
     perc = perceptual_loss(fx, fy)
     style = style_loss(fx, fy)
     total = l1_weight * l1 + perc_weight * perc + style_weight * style
@@ -82,8 +100,10 @@ def transref_total_loss(vgg_apply, pred, target, mask,
 
 def convert_vgg16_features(sd) -> Dict:
     """torchvision vgg16 `features.*` state dict -> VGG16Features params.
-    Conv indices in the torch Sequential: 0,2,5,7,10,12,14,17,19,21,24,26,28
-    (reference slicing at loss.py:31-69)."""
+    Conv indices in the torch Sequential: 0,2,5,7,10,12,14,17,19,21,24
+    (reference slicing at loss.py:31-69); features.26/28 (conv5_2/5_3)
+    are dead in the reference's executed loss (see VGG16_LAYOUT note) and
+    are not converted."""
     from ..convert import conv_kernel, _np
     idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
     params = {}
