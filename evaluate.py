@@ -25,6 +25,9 @@ def get_args():
     p.add_argument("--gpu", type=str, default="0", help="compat flag")
     p.add_argument("--max_pairs", type=int, default=-1,
                    help="evaluate only the first N pairs (quick subset)")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="override cfg.image_size (square); the reference "
+                        "protocol is 512")
     return p.parse_args()
 
 
@@ -131,6 +134,8 @@ def main():
     from stitchax.run.config import build_eval_config
 
     cfg = build_eval_config(args)
+    if args.image_size:
+        cfg.image_size = [args.image_size, args.image_size]
     size = tuple(cfg.get("image_size", [512, 512]))
     ds = UDISDataset(args.data_dir, phase="testing", size=size)
     if args.max_pairs > 0:
@@ -138,7 +143,12 @@ def main():
     loader = PrefetchLoader(ds, batch_size=args.batch_size, shuffle=False,
                             num_workers=12)
 
-    models = StitchModels.build(cfg, use_composition=False)
+    # init at the eval resolution: the UDIS2 regression head's fc1 shape
+    # depends on input size (the reference pins everything to 512 via
+    # resize_to_512 for the same reason) — a checkpoint restores only
+    # into a tree built at its own training image_size
+    models = StitchModels.build(cfg, use_composition=False,
+                                init_size=size[0])
     align_cfg = AlignConfig(
         use_fb_consistency_mask=cfg.get("use_fb_consistency_mask", True))
     result = validate_with_model(cfg, loader, models, align_cfg)

@@ -45,7 +45,12 @@ def build_eval_config(args) -> CfgNode:
     model_dict = _load_module_attr(f"configs.{args.model_config_name}",
                                    "config_dict")
     cfg = CfgNode(model_dict)
-    cfg.merge_from_dict(vars(args))
+    # unset CLI flags (argparse None) must NOT clobber model-config
+    # defaults (e.g. a None image_size erasing the config's [512, 512] —
+    # the reference merges the same way, evaluate.py:139-144, but its
+    # arg surface never overlaps config keys; ours does)
+    cfg.merge_from_dict({k: v for k, v in vars(args).items()
+                         if v is not None})
     cfg.batch_size = getattr(args, "batch_size", 12)
     # --ckpt_path must win over the model config's restore_ckpt (same
     # wiring as build_out_config above; without this the eval CLI

@@ -68,3 +68,16 @@ class TestCfgNode:
         cfg = build_eval_config(args)
         assert cfg.batch_size == 12
         assert cfg.image_size == [512, 512]
+        # --ckpt_path must win over the config's restore_ckpt: None
+        assert cfg.restore_ckpt == "x"
+
+    def test_eval_config_none_args_keep_defaults(self):
+        # unset CLI flags (argparse None) must not clobber model-config
+        # defaults: a None image_size once erased the config's [512, 512]
+        args = argparse.Namespace(model_config_name="last_config",
+                                  data_dir=None, batch_size=12, gpu="0",
+                                  ckpt_path="x", max_pairs=-1,
+                                  image_size=None)
+        cfg = build_eval_config(args)
+        assert cfg.image_size == [512, 512]
+        assert cfg.udis_dataset.data_dir  # config default survives
