@@ -110,3 +110,53 @@ def test_sweep_group_program_budget(rng):
     solo = st2.stitch(*pairs[4])
     np.testing.assert_array_equal(results[4]["ave_fusion"],
                                   solo["ave_fusion"])
+
+
+def test_sweep_isolates_degenerate_homography(tmp_path, rng):
+    """A pair whose predicted homography rank-collapses (all four corners
+    map to one point -> non-finite H, non-finite canvas box) must fail in
+    ISOLATION: the other pair of its align group still stitches. This is
+    the system-level net behind tools/fuzz_geometry.py's observation that
+    DLT legitimately returns non-finite H for degenerate quads."""
+    import os
+
+    root = str(tmp_path)
+    good = _write_pair(root, "g", rng, 128, 160)
+    # mark the bad pair with a near-white input1 (mean > 200): the stub
+    # homography collapses corners exactly for marked samples
+    bad_dir = os.path.join(root, "bad")
+    os.makedirs(bad_dir, exist_ok=True)
+    white = np.full((128, 160, 3), 250, np.uint8)
+    Image.fromarray(white).save(os.path.join(bad_dir, "input1.jpg"))
+    Image.fromarray(white).save(os.path.join(bad_dir, "input2.jpg"))
+    bad = {"DATA_PATH": bad_dir, "IMG1": "input1.jpg", "IMG2": "input2.jpg"}
+
+    S, W, shift = 512, 160, 24
+
+    def homo_fn(a, b):
+        dx = -shift * (S / W)
+        normal = jnp.array([dx, 0, dx, 0, dx, 0, dx, 0], jnp.float32)
+        # map every corner to (0, 0): offsets = -corner positions
+        collapse = jnp.array([0, 0, -S, 0, 0, -S, -S, -S], jnp.float32)
+        is_marked = (a.mean(axis=(1, 2, 3)) > 0.55)[:, None]  # a in [-1,1]
+        return jnp.where(is_marked, collapse[None], normal[None])
+
+    def flow_fn(a, b):
+        zero = jnp.zeros(a.shape[:3] + (2,), a.dtype)
+        return [zero], zero[:, ::8, ::8]
+
+    st = Stitcher(None, _Cfg(swap_image=False),
+                  AlignConfig(use_fb_consistency_mask=False,
+                              canvas_bucket=64),
+                  TPSConfig(grid_h=8, grid_w=8),
+                  inpainter_name="cv_inpainter",
+                  homo_fn=homo_fn, flow_fn=flow_fn)
+
+    jobs = [(good, os.path.join(root, "out/g")),
+            (bad, os.path.join(root, "out/bad"))]
+    errs = dict(st.stitch_and_save_many(jobs, align_batch=2))
+    assert errs[os.path.join(root, "out/g")] is None
+    assert os.path.exists(os.path.join(root, "out/g", "ave_fusion.jpg"))
+    assert errs[os.path.join(root, "out/bad")] is not None
+    assert not os.path.exists(os.path.join(root, "out/bad",
+                                           "ave_fusion.jpg"))
