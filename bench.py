@@ -8,6 +8,18 @@ exactly what `out.py` runs per pair, minus composition (weights-dependent)
 and file IO. The align-step metric (512², batch 4) is kept for continuity
 with round 1 (BENCH_r01: 12.6 pairs/s). Prints ONE JSON line.
 
+Relay hardening (round 4): the remote-TPU relay tunnel
+(/root/.tpu_init.py, localhost ports 8082-8117) can die and cannot be
+restarted from inside the sandbox; a dead relay used to surface as a
+backend-init stack trace (BENCH_r03.json rc=1). Now `python bench.py`
+runs an orchestrator that (1) prechecks relay liveness with bounded
+retries, (2) runs the actual measurement (`bench.py --measure`) in a
+subprocess with a timeout so a half-dead relay's forever-blocking device
+fetch cannot hang the driver, and (3) on any unrecoverable failure emits
+ONE structured JSON diagnostic — rc 0, never a traceback — carrying the
+last successfully measured numbers (results/last_bench.json) and the
+current commit.
+
 `vs_baseline` is value / REFERENCE_PAIRS_PER_SEC. The reference publishes no
 numbers (BASELINE.md), so REFERENCE_PAIRS_PER_SEC = 1.0 pairs/s stands in as
 the nominal reference rate for its CUDA pipeline at the same operating point;
@@ -15,9 +27,15 @@ replace with a measured value when reference checkpoints are available.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 REFERENCE_PAIRS_PER_SEC = 1.0
+
+LAST_BENCH_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "results", "last_bench.json")
 
 
 def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
@@ -37,8 +55,8 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
     img2 = load_image("demo_data/demo1/input2.jpg")
 
     stitcher.stitch(img1, img2)  # compile all stages for this shape
-    # compile the grouped (batch-2) align program stitch_many uses, then
-    # settle the tunnel after compile traffic
+    # compile the grouped align program stitch_many uses, then settle the
+    # tunnel after compile traffic
     list(stitcher.stitch_many([(img1, img2)] * 2))
     # pipelined sweep throughput: stitch_many overlaps pair k's output
     # transfer with pair k+1's device stages — the sweep rate out.py
@@ -59,7 +77,7 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
     return sorted(rates)[len(rates) // 2]
 
 
-def main():
+def measure():
     import jax
     from stitchax.utils.platform import setup_cli_jax
     setup_cli_jax()
@@ -132,5 +150,131 @@ def main():
     }))
 
 
+# ---------------------------------------------------------------- orchestrator
+
+def _git_commit():
+    """Short HEAD hash read straight from .git (no subprocess)."""
+    git = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".git")
+    try:
+        with open(os.path.join(git, "HEAD")) as f:
+            head = f.read().strip()
+        if head.startswith("ref: "):
+            ref = head[5:]
+            ref_path = os.path.join(git, *ref.split("/"))
+            if os.path.exists(ref_path):
+                with open(ref_path) as f:
+                    return f.read().strip()[:7]
+            with open(os.path.join(git, "packed-refs")) as f:
+                for line in f:
+                    if line.strip().endswith(ref):
+                        return line.split()[0][:7]
+            return None
+        return head[:7]
+    except OSError:
+        return None
+
+
+def _relay_alive(timeout=2.0):
+    from stitchax.utils.platform import relay_alive
+    return relay_alive(timeout)
+
+
+def _last_measured():
+    try:
+        with open(LAST_BENCH_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _emit_diagnostic(error, detail):
+    """ONE parseable JSON line, rc 0 — never a stack trace (VERDICT r3 #1)."""
+    last = _last_measured()
+    print(json.dumps({
+        "metric": "full_stitch_pairs_per_sec_per_chip_384x448 "
+                  f"(NOT MEASURED: {error})",
+        "value": 0.0,
+        "unit": "pairs/s",
+        "vs_baseline": 0.0,
+        "error": error,
+        "detail": detail,
+        "last_measured": last,
+        "commit": _git_commit(),
+    }))
+
+
+def orchestrate():
+    # CPU platform override means the caller wants a local run — no relay.
+    needs_relay = os.environ.get("STITCHAX_PLATFORM", "") in ("", "tpu",
+                                                              "axon")
+    if needs_relay:
+        attempts, backoff = 3, 20.0
+        for i in range(attempts):
+            if _relay_alive():
+                break
+            if i < attempts - 1:
+                time.sleep(backoff)
+        else:
+            _emit_diagnostic(
+                "tpu_relay_dead",
+                "no listener on relay ports 8082-8092 after "
+                f"{attempts} checks over {backoff * (attempts - 1):.0f}s; "
+                "the tunnel (/root/.tpu_init.py) cannot be restarted from "
+                "inside the sandbox (CLAUDE.md)")
+            return
+
+    # Fresh compiles through the degraded remote-compile service can take
+    # 20-40 min (CLAUDE.md); a warm /tmp/stitchax_jax_cache run takes ~2 min.
+    budget = float(os.environ.get("STITCHAX_BENCH_TIMEOUT", "2700"))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out, _ = proc.communicate(timeout=budget)
+    except subprocess.TimeoutExpired:
+        # SIGTERM and wait — never SIGKILL a process holding the TPU claim
+        # (CLAUDE.md: a kill -9 wedges all TPU work for ~30 min).
+        proc.terminate()
+        try:
+            proc.communicate(timeout=120)
+        except subprocess.TimeoutExpired:
+            pass  # leave it to die on its own rather than kill -9
+        _emit_diagnostic("bench_timeout",
+                         f"measurement subprocess exceeded {budget:.0f}s "
+                         "(degraded remote-compile or half-dead relay)")
+        return
+
+    result = None
+    for line in reversed(out.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+
+    if proc.returncode == 0 and result is not None and "value" in result:
+        print(json.dumps(result))
+        try:  # record for the next diagnostic; best-effort
+            os.makedirs(os.path.dirname(LAST_BENCH_PATH), exist_ok=True)
+            with open(LAST_BENCH_PATH, "w") as f:
+                json.dump({**result, "commit": _git_commit(),
+                           "measured_at": time.strftime("%Y-%m-%d %H:%M")},
+                          f, indent=1)
+        except OSError:
+            pass
+        return
+
+    tail = "\n".join(out.splitlines()[-15:])[-2000:]
+    _emit_diagnostic("bench_failed",
+                     f"measurement subprocess rc={proc.returncode}; "
+                     f"tail: {tail}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv[1:]:
+        measure()
+    else:
+        orchestrate()

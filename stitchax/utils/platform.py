@@ -13,8 +13,30 @@ Two environment facts drive this (see CLAUDE.md):
 from __future__ import annotations
 
 import os
+import socket
 
 CACHE_DIR = "/tmp/stitchax_jax_cache"
+
+# Relay tunnel listener ports (/root/.tpu_init.py PORTS; probing one suffices).
+RELAY_PORTS = (8082, 8083, 8087, 8092)
+
+
+def relay_alive(timeout: float = 2.0) -> bool:
+    """True if the remote-TPU relay tunnel accepts a TCP connection.
+
+    The tunnel can die mid-session and cannot be restarted from inside the
+    sandbox (CLAUDE.md); backend init then raises UNAVAILABLE and any
+    in-flight device fetch blocks forever. Callers that need the TPU should
+    precheck with this instead of discovering the corpse via a hang.
+    """
+    for port in RELAY_PORTS:
+        try:
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=timeout):
+                return True
+        except OSError:
+            continue
+    return False
 
 
 def setup_cli_jax():
