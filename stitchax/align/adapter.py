@@ -15,6 +15,14 @@ Two paths:
     bucket size compiles exactly once.
 
 All tensors NHWC in [0, 255]; masks (B, H, W, 1)-style stacked as channels.
+
+Retired reference branch: `use_forward=True` (forward-splat composition,
+reference: flowHomoAdpater.py:107-134) is deliberately NOT wired. The
+reference branch is unrunnable — `final_flow = H_flow + residual_flow`
+(:128) reads `H_flow`/`residual_flow` before either is bound, so enabling
+it raises NameError; the shipped config keeps it off (`use_foward: False`,
+sic). The forward-splat op itself lives in ops/splat.py (tested) for the
+augmentor and any future wiring. Decision recorded in STATUS.md §2.9.
 """
 
 from __future__ import annotations

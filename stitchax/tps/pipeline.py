@@ -112,6 +112,56 @@ def sample_control_points(h_warp_cropped: jnp.ndarray, flow: jnp.ndarray,
     return src, dst, valid
 
 
+def mix_tps_with_flow_warp(tps_h_warp: jnp.ndarray, tps_mask_raw: jnp.ndarray,
+                           output1: jnp.ndarray, mask1: jnp.ndarray,
+                           final_warp: jnp.ndarray, cfg: TPSConfig
+                           ) -> Dict[str, Any]:
+    """Back half of the breaking stage: TPS-mask threshold + 11x11 open on
+    the inverted mask, mix with the flow warp, blend
+    (reference: core/inference/tps_pipline.py:137-205).
+
+    tps_h_warp: (out_h, out_w, 3) raw TPS-warped image (pre mask-multiply);
+    tps_mask_raw: (out_h, out_w, 1) raw warped mask, pre-threshold.
+    Factored out of tps_break_warp so it can be reference-pinned in
+    isolation by injecting identical warp output into both sides
+    (tests/test_parity_tps_backhalf.py).
+    """
+    dtype = tps_h_warp.dtype
+    tps_mask = (tps_mask_raw >= 0.5).astype(dtype)
+
+    # mask cleanup: 11x11 open on the INVERTED mask (tps_pipline.py:141-147)
+    k = (cfg.mask_open_kernel, cfg.mask_open_kernel)
+    inv = morph_open(1.0 - tps_mask, k)
+    tps_mask = 1.0 - inv
+    tps_h_warp = tps_h_warp * tps_mask
+
+    # mix with the flow warp (tps_pipline.py:151-158)
+    fw_mask = ((final_warp >= 3).astype(dtype).mean(-1, keepdims=True)
+               >= 0.5).astype(dtype)
+    inv_mask1 = ((1.0 - mask1) >= 0.5).astype(dtype)
+    tps_final_warp = final_warp * fw_mask + tps_h_warp * (1 - fw_mask) * inv_mask1
+    tps_final_warp_mask = fw_mask + (1 - fw_mask) * tps_mask * inv_mask1
+
+    output2 = tps_final_warp * tps_final_warp_mask
+    mask2 = tps_final_warp_mask
+    denom = jnp.maximum(mask1 + mask2, 1e-6)
+    blend = jnp.clip((output1 * mask1 + output2 * mask2) / denom, 0, 255)
+
+    out = dict(
+        new_blend_image=blend,
+        mix_tps_flow_warp=output2,
+        mix_tps_flow_warp_mask=mask2,
+        tps_output=tps_h_warp,
+        tps_mask=tps_mask,
+        output2=output2,
+        mask2=mask2,
+    )
+    if cfg.output2_is_only_tps:
+        out["output2"] = tps_h_warp  # already mask-multiplied
+        out["mask2"] = tps_mask
+    return out
+
+
 def tps_break_warp(output1: jnp.ndarray, mask1: jnp.ndarray,
                    h_warp: jnp.ndarray, h_warp_mask: jnp.ndarray,
                    final_warp: jnp.ndarray, residual_flow: jnp.ndarray,
@@ -160,38 +210,7 @@ def tps_break_warp(output1: jnp.ndarray, mask1: jnp.ndarray,
                               kernel_scale=cfg.kernel_scale,
                               affine_scale=cfg.affine_scale,
                               reg=cfg.solve_reg)
-    tps_h_warp = warped[..., 0:3]
-    tps_mask = (warped[..., 3:4] >= 0.5).astype(dtype)
-
-    # mask cleanup: 11x11 open on the INVERTED mask (tps_pipline.py:141-147)
-    k = (cfg.mask_open_kernel, cfg.mask_open_kernel)
-    inv = morph_open(1.0 - tps_mask, k)
-    tps_mask = 1.0 - inv
-    tps_h_warp = tps_h_warp * tps_mask
-
-    # mix with the flow warp (tps_pipline.py:151-158)
-    fw_mask = ((final_warp >= 3).astype(dtype).mean(-1, keepdims=True)
-               >= 0.5).astype(dtype)
-    inv_mask1 = ((1.0 - mask1) >= 0.5).astype(dtype)
-    tps_final_warp = final_warp * fw_mask + tps_h_warp * (1 - fw_mask) * inv_mask1
-    tps_final_warp_mask = fw_mask + (1 - fw_mask) * tps_mask * inv_mask1
-
-    output2 = tps_final_warp * tps_final_warp_mask
-    mask2 = tps_final_warp_mask
-    denom = jnp.maximum(mask1 + mask2, 1e-6)
-    blend = jnp.clip((output1 * mask1 + output2 * mask2) / denom, 0, 255)
-
-    out = dict(
-        new_blend_image=blend,
-        mix_tps_flow_warp=output2,
-        mix_tps_flow_warp_mask=mask2,
-        tps_output=tps_h_warp,
-        tps_mask=tps_mask,
-        output2=output2,
-        mask2=mask2,
-        control_src=src, control_dst=dst, control_valid=valid,
-    )
-    if cfg.output2_is_only_tps:
-        out["output2"] = tps_h_warp  # already mask-multiplied
-        out["mask2"] = tps_mask
+    out = mix_tps_with_flow_warp(warped[..., 0:3], warped[..., 3:4],
+                                 output1, mask1, final_warp, cfg)
+    out.update(control_src=src, control_dst=dst, control_valid=valid)
     return out

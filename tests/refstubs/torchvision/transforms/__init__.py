@@ -5,6 +5,8 @@ stitchax ops/sampling.resize_image_b matches the same formulation)."""
 import torch.nn as nn
 import torch.nn.functional as F
 
+from . import functional  # noqa: F401  (reference uses transforms.functional.crop)
+
 
 class Resize(nn.Module):
     def __init__(self, size, **kwargs):
