@@ -264,8 +264,17 @@ class ControlNet(nn.Module):
 
 def ddim_schedule(num_train_steps: int, num_steps: int
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Timesteps + alphas_cumprod for the SD scaled-linear beta schedule
-    (steps_offset=1, as in the SD-1.5 scheduler config)."""
+    """Timesteps + alphas_cumprod for the SD-1.5 scheduler constants.
+
+    Pinned to the published runwayml/stable-diffusion-inpainting scheduler
+    config (the checkpoint the reference loads,
+    core/inference/mix_methods/utils/inpainter.py:12-19): beta_schedule
+    'scaled_linear' with beta_start=0.00085, beta_end=0.012,
+    num_train_timesteps=1000, i.e. betas = linspace(sqrt(b0), sqrt(b1), T)^2;
+    timestep spacing is the 'leading' rule with steps_offset=1:
+    t_i = i * (T // S) + 1, iterated high-to-low. Numerically asserted
+    against float64 goldens in tests/test_sd_scheduler.py.
+    """
     betas = jnp.linspace(0.00085 ** 0.5, 0.012 ** 0.5, num_train_steps) ** 2
     alphas_cumprod = jnp.cumprod(1.0 - betas)
     step = num_train_steps // num_steps
@@ -285,8 +294,12 @@ def make_inpaint_denoiser(unet_apply, controlnet_apply, context,
         def body(lat, i):
             t = ts[i]
             a_t = acp[t]
-            prev_t = jnp.maximum(t - num_train_steps // num_steps, 0)
-            a_prev = jnp.where(prev_t > 0, acp[prev_t], 1.0)
+            # DDIMScheduler.step semantics: prev_timestep may go negative at
+            # the last step; then alpha_prev = final_alpha_cumprod, which for
+            # SD-1.5 (set_alpha_to_one=False) is alphas_cumprod[0], NOT 1.0.
+            prev_t = t - num_train_steps // num_steps
+            a_prev = jnp.where(prev_t >= 0, acp[jnp.maximum(prev_t, 0)],
+                               acp[0])
 
             inp = jnp.concatenate([lat, mask_latent, masked_latents], -1)
             tb = jnp.full((lat.shape[0],), t, jnp.float32)
