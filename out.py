@@ -36,6 +36,10 @@ def get_args():
                         "mixed-resolution sweep reuses a few compiled "
                         "programs instead of one set per distinct shape; "
                         "default: cfg.input_bucket or 0 (native)")
+    p.add_argument("--align_batch", type=int, default=4,
+                   help="consecutive same-shape pairs share one batched "
+                        "align model step of this size (4 = the measured "
+                        "single-chip operating point; 1 disables grouping)")
     return p.parse_args()
 
 
@@ -123,7 +127,8 @@ def main():
     # pipelined sweep: pair k's output transfer + file writes overlap pair
     # k+1's device stages; per-pair failures are recorded, not fatal
     error_list = []  # per-pair failure manifest (SURVEY.md §5 rebuild item)
-    for result_path, err in stitcher.stitch_and_save_many(jobs):
+    for result_path, err in stitcher.stitch_and_save_many(
+            jobs, align_batch=args.align_batch):
         rel = os.path.relpath(result_path, save_root)
         if err is None:
             logger.info(f"stitched {rel}")

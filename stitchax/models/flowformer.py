@@ -63,6 +63,11 @@ class FlowFormerConfig:
     no_border: bool = True
     H_offset: int = 0
     W_offset: int = 0
+    # lax.scan unroll factor for the decoder iteration loop: >1 lets XLA
+    # schedule/fuse across iteration boundaries (fewer, bigger program
+    # regions — the round-3 campaign's "fewer/bigger ops" lever) at the
+    # cost of code size. Semantics identical for any value.
+    scan_unroll: int = 1
     # Training needs all 12 convex-upsampled predictions (sequence loss);
     # inference consumes only the last, but the upsample sits inside the
     # scan where XLA cannot dead-code a per-iteration slice — False moves
@@ -736,7 +741,8 @@ class MemoryDecoder(nn.Module):
                        variable_broadcast="params",
                        split_rngs={"params": False},
                        in_axes=nn.broadcast, out_axes=0,
-                       length=c.decoder_depth)
+                       length=c.decoder_depth,
+                       unroll=c.scan_unroll)
         consts = (inp, attention, cost_maps, key, value, coords0)
         (net, coords1), ys = scan(c, name="iteration")(
             (net, coords0), consts)

@@ -372,20 +372,34 @@ class TransRefBase(nn.Module):
 
 
 def make_default_transref_apply(size: int = 512, seed: int = 0,
-                                bf16: bool = True):
-    """Jitted apply closure with randomly-initialized params.
+                                bf16: bool = True, ckpt: str = None):
+    """Jitted apply closure; weights from `ckpt` when available.
 
-    Real deployments load a converted 400_Trans.pth checkpoint
-    (reference: transref_inpainter.py:19-28 — the ckpt is not shipped there
-    either); random init keeps the full pipeline runnable end to end.
+    Weight resolution order: explicit `ckpt` arg, then the
+    STITCHAX_TRANSREF_CKPT env var (the Stitcher constructs inpainters by
+    name only — same pattern as STITCHAX_SD_CKPT), else random init. A
+    checkpoint is the flax-serialization bytes of the param tree, written
+    by `tools/train_transref_learns.py --save_ckpt` or by converting the
+    reference's 400_Trans.pth (stitchax/convert.py convert_transref;
+    the reference downloads it at transref_inpainter.py:19-28 — not
+    shipped there either). Param shapes are resolution-independent, so a
+    checkpoint trained at 256 loads into the 512 inpainting size.
     bf16=True runs the transformer in bfloat16 (the reference's inpainters
     run fp16), outputs cast back to fp32.
     """
+    import os
+
     model = TransRefBase()
     d = jnp.zeros((1, size, size, 3), jnp.float32)
     m = jnp.zeros((1, size, size, 1), jnp.float32)
     # jitted init: eager init is pathological through the remote-TPU tunnel
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), d, m, d)
+    ckpt = ckpt or os.environ.get("STITCHAX_TRANSREF_CKPT") or None
+    if ckpt:
+        from flax import serialization
+        with open(ckpt, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        print(f"[transref] loaded checkpoint {ckpt}")
 
     if bf16:
         from ..utils.precision import bf16_apply

@@ -336,7 +336,7 @@ class Stitcher:
         images cropped to the true canvas."""
         return self._stitch_finalize(self._stitch_device(img1, img2))
 
-    def stitch_many(self, pairs, depth: int = 2, align_batch: int = 2):
+    def stitch_many(self, pairs, depth: int = 2, align_batch: int = 4):
         """Pipelined stitch over an iterable of (img1, img2): pair k's
         packed output streams to the host (copy_to_host_async) while the
         next pairs' device stages run, overlapping the relay transfer with
@@ -345,8 +345,10 @@ class Stitcher:
         lookahead is not always enough to keep the link busy).
 
         Consecutive same-shape pairs additionally share ONE batched align
-        model step per full `align_batch` group (~30% cheaper per pair on
-        device than batch-1 steps); remainder/odd-size groups dispatch
+        model step per full `align_batch` group (the batch-4 default is the
+        measured single-chip operating point — the same one bench.py's
+        align metric uses; batch 8 plateaus on HBM pressure); remainder/
+        odd-size groups dispatch
         pair-by-pair so compile cost stays bounded at two model programs
         per input shape (batch `align_batch` + batch 1) regardless of
         sweep composition. Yields one result dict per pair, in order."""
@@ -573,7 +575,7 @@ class Stitcher:
             img1, img2 = img2, img1
         return img1, img2
 
-    def stitch_and_save_many(self, jobs, align_batch: int = 2):
+    def stitch_and_save_many(self, jobs, align_batch: int = 4):
         """Pipelined sweep: jobs is an iterable of (data_dict, result_path).
         Pair k's output transfer + JPEG writes overlap pair k+1's device
         stages, and consecutive same-shape pairs share one batched align

@@ -1,0 +1,176 @@
+"""MFU accounting table for the align step (VERDICT r3 item 4).
+
+For each stage of the bidirectional align forward at the bench operating
+point (4 pairs x 2 directions, 512², bf16), compiles the stage as its own
+program, takes FLOPs / bytes-accessed from XLA's own cost model
+(`compiled.cost_analysis()`), and pairs them with synced wall times. The
+output is the evidence table: achieved TFLOP/s and GB/s per stage against
+this chip's measured roofline (~100 TFLOP/s bf16, ~409 GB/s HBM — see
+BASELINE.md "Benchmarking caveat"), so "the remaining step time is op
+floors, not glue" is a number, not a claim.
+
+Caveats: XLA counts HLO-level flops (a fused multiply-add = 2), and the
+standalone per-stage times carry the ~1.5 ms dispatch floor — in-program
+costs are lower; the FULL-forward row is the honest denominator.
+
+Usage: python tools/mfu_table.py [batch] — writes results/mfu_table.md
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+from stitchax.utils.platform import setup_cli_jax  # noqa: E402
+
+setup_cli_jax()
+
+import jax                       # noqa: E402
+import jax.numpy as jnp          # noqa: E402
+import numpy as np               # noqa: E402
+
+PEAK_TFLOPS = 100.0   # measured synced bf16 roofline on this chip
+PEAK_GBS = 409.0      # measured HBM bandwidth
+
+
+def measure(name, fn, args, iters=10):
+    """Compile, pull XLA cost analysis, and time synced executions."""
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+        byts = float(ca.get("bytes accessed", float("nan")))
+    except Exception as e:  # noqa: BLE001 — cost model optional
+        print(f"  ({name}: cost_analysis unavailable: {e})")
+        flops, byts = float("nan"), float("nan")
+    out = compiled(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+    ms = (time.perf_counter() - t0) / iters * 1000
+    print(f"{name:36s} {ms:8.2f} ms  {flops/1e9:10.1f} GFLOP  "
+          f"{byts/1e9:8.2f} GB", flush=True)
+    return {"name": name, "ms": ms, "gflop": flops / 1e9,
+            "gb": byts / 1e9}
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    S = 512
+    from stitchax.models import FlowFormer, FlowFormerConfig
+
+    cfg = FlowFormerConfig(upsample_all=False)
+    ff = FlowFormer(cfg)
+    k = jax.random.PRNGKey(0)
+    img0 = jnp.zeros((1, S, S, 3), jnp.float32)
+    fp = jax.jit(ff.init)(k, img0, img0)
+    fp = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, fp)
+
+    rng = np.random.default_rng(0)
+    dt16 = jnp.bfloat16
+    i1 = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), dt16)
+    i2 = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), dt16)
+    both = jnp.concatenate([i1, i2], axis=0)
+    H1 = W1 = S // 8
+    Bd = 2 * B
+
+    rows = []
+
+    rows.append(measure(
+        f"context_encoder (2B={Bd})",
+        lambda p, x: ff.apply(
+            p, x, method=lambda m, y: m.context_encoder(y))[0],
+        (fp, both)))
+
+    rows.append(measure(
+        f"feat_encoder (2B={Bd})",
+        lambda p, x: ff.apply(
+            p, x, method=lambda m, y: m.memory_encoder.feat_encoder(y))[0],
+        (fp, both)))
+
+    feats = jax.jit(lambda p, x: ff.apply(
+        p, x, method=lambda m, y: m.memory_encoder.feat_encoder(y))[0])(
+        fp, both)
+    fs, ft = feats[:B], feats[B:]
+    rows.append(measure(
+        "cost volume einsum (fwd)",
+        lambda p, a, b: ff.apply(
+            p, a, b, method=lambda m, x, y: m.memory_encoder._cost_volume(
+                x, y)),
+        (fp, fs, ft)))
+
+    ctx_both = jax.jit(lambda p, x: ff.apply(
+        p, x, method=lambda m, y: m.context_encoder(y))[0])(fp, both)
+    cost_fwd = jax.jit(lambda p, a, b: ff.apply(
+        p, a, b, method=lambda m, x, y: m.memory_encoder._cost_volume(
+            x, y)))(fp, fs, ft)
+    cost_bwd = cost_fwd.transpose(0, 3, 4, 1, 2, 5)
+    cost_cat = jnp.concatenate([cost_fwd, cost_bwd], axis=0)
+
+    rows.append(measure(
+        f"cost_perceiver (2B={Bd})",
+        lambda p, cm, c: ff.apply(
+            p, cm, c,
+            method=lambda m, x, y: m.memory_encoder.cost_perceiver(x, y))[0],
+        (fp, cost_cat, ctx_both)))
+
+    mem_cat = jax.jit(lambda p, cm, c: ff.apply(
+        p, cm, c,
+        method=lambda m, x, y: m.memory_encoder.cost_perceiver(x, y))[0])(
+        fp, cost_cat, ctx_both)
+
+    rows.append(measure(
+        f"memory_decoder 12 iters (2B={Bd})",
+        lambda p, m_, c_, cm_: ff.apply(
+            p, m_, c_, cm_, (H1 // 8, W1 // 8),
+            method=lambda m, a, b, c2, hw: m.memory_decoder(
+                a, b, c2, hw))[0][-1],
+        (fp, mem_cat, ctx_both, cost_cat)))
+
+    full = measure(
+        f"FULL bidirectional forward (B={B})",
+        lambda p, a, b: ff.apply(
+            p, a, b, method=FlowFormer.bidirectional)[0][0][-1],
+        (fp, i1, i2))
+    rows.append(full)
+
+    # markdown table
+    lines = [
+        f"| stage (512², {B} pairs bidi, bf16) | ms | GFLOP | GB | "
+        f"TFLOP/s | %MXU roofline | GB/s | %HBM roofline | bound |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        tfs = r["gflop"] / r["ms"] if r["ms"] else float("nan")
+        gbs = r["gb"] / r["ms"] * 1000 if r["ms"] else float("nan")
+        pm = 100 * tfs / PEAK_TFLOPS
+        ph = 100 * gbs / PEAK_GBS
+        bound = ("MXU" if pm >= ph else "HBM") if pm == pm else "?"
+        lines.append(
+            f"| {r['name']} | {r['ms']:.2f} | {r['gflop']:.0f} | "
+            f"{r['gb']:.2f} | {tfs:.1f} | {pm:.0f}% | {gbs:.0f} | "
+            f"{ph:.0f}% | {bound} |")
+    sum_ms = sum(r["ms"] for r in rows[:-1])
+    lines.append(
+        f"\nStage sum {sum_ms:.1f} ms vs full forward {full['ms']:.1f} ms "
+        f"(standalone rows carry ~1.5 ms dispatch floors each; the full "
+        f"row is the honest denominator). Roofline: {PEAK_TFLOPS:.0f} "
+        f"TFLOP/s bf16, {PEAK_GBS:.0f} GB/s HBM (measured, BASELINE.md).")
+    table = "\n".join(lines)
+    print("\n" + table)
+    out = os.path.join(os.path.dirname(__file__), "..", "results",
+                       "mfu_table.md")
+    with open(out, "w") as f:
+        f.write(table + "\n")
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,10 @@ def get_args():
     p.add_argument("--corner_px", type=float, default=8.0)
     p.add_argument("--out", type=str, default="/tmp/train_transref_learns")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_ckpt", action="store_true",
+                   help="also write {out}/transref_ckpt.msgpack (flax "
+                        "serialization bytes) loadable via "
+                        "STITCHAX_TRANSREF_CKPT by the transref inpainter")
     return p.parse_args()
 
 
@@ -217,6 +221,13 @@ def main():
         "hole_psnr_improves_over_init": p_end > psnr_init + 2.0,
         "beats_meanfill_baseline": p_end > psnr_meanfill,
     }
+    if args.save_ckpt:
+        from flax import serialization
+        path = os.path.join(args.out, "transref_ckpt.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(params)))
+        print(f"saved {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+
     result = dict(steps=args.steps, size=args.size, batch=args.batch,
                   lr=args.lr, loss_first20=first, loss_last20=last,
                   psnr_meanfill=psnr_meanfill, psnr_init=psnr_init,
