@@ -52,9 +52,19 @@ def _run_orchestrate(mod, capsys):
     return json.loads(out[0])
 
 
-def test_dead_relay_emits_structured_diagnostic(bench, monkeypatch, capsys):
+def test_dead_relay_emits_structured_diagnostic(bench, monkeypatch, tmp_path,
+                                                capsys):
     monkeypatch.setenv("STITCHAX_PLATFORM", "")  # TPU wanted
     monkeypatch.setattr(bench, "_relay_alive", lambda *a, **k: False)
+    # hermetic last-measured record (in production this is the committed
+    # results/last_bench.json written by the previous successful run)
+    last = {"metric": "full_stitch_pairs_per_sec_per_chip_384x448 (tpu)",
+            "value": 4.6, "unit": "pairs/s",
+            "extra": {"align_pairs_per_sec_per_chip_512_b4": 18.4},
+            "commit": "abc1234"}
+    p = tmp_path / "last_bench.json"
+    p.write_text(json.dumps(last))
+    monkeypatch.setattr(bench, "LAST_BENCH_PATH", str(p))
     rec = _run_orchestrate(bench, capsys)
     assert rec["error"] == "tpu_relay_dead"
     assert rec["value"] == 0.0 and rec["unit"] == "pairs/s"
@@ -62,6 +72,19 @@ def test_dead_relay_emits_structured_diagnostic(bench, monkeypatch, capsys):
     # carries the last successfully measured numbers + provenance
     assert rec["last_measured"]["value"] > 0
     assert rec["last_measured"]["extra"]["align_pairs_per_sec_per_chip_512_b4"] > 0
+    assert rec["commit"]
+
+
+def test_dead_relay_diagnostic_without_any_last_bench(bench, monkeypatch,
+                                                      tmp_path, capsys):
+    """Fresh-VM case: no last_bench.json anywhere — still ONE JSON line."""
+    monkeypatch.setenv("STITCHAX_PLATFORM", "")
+    monkeypatch.setattr(bench, "_relay_alive", lambda *a, **k: False)
+    monkeypatch.setattr(bench, "LAST_BENCH_PATH",
+                        str(tmp_path / "nope.json"))
+    rec = _run_orchestrate(bench, capsys)
+    assert rec["error"] == "tpu_relay_dead"
+    assert rec["last_measured"] is None
     assert rec["commit"]
 
 
