@@ -31,25 +31,40 @@ def get_args():
     return p.parse_args()
 
 
-def validate_with_model(cfg, loader, stitch_models, align_cfg):
+def make_eval_step(stitch_models, align_cfg):
+    """Jitted eval forward with the {flow, homo} param trees as ARGUMENTS
+    (not trace-time closure constants): one compile per input shape, and
+    every weight swap — e.g. tools/eval_trajectory.py walking a training
+    run's checkpoints — reuses the same executable instead of paying a
+    fresh ~5-min remote compile per checkpoint (CLAUDE.md)."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from stitchax.align.adapter import train_eval_forward
-    from stitchax.metrics import psnr_batch, ssim_batch
-
-    homo_fn = lambda a, b: stitch_models.homo_model.apply(
-        stitch_models.homo_params, a, b)
-    flow_fn = lambda a, b: stitch_models.flow_model.apply(
-        stitch_models.flow_params, a, b)
 
     @jax.jit
-    def eval_step(img1, img2):
+    def eval_step(flow_params, homo_params, img1, img2):
+        homo_fn = lambda a, b: stitch_models.homo_model.apply(
+            homo_params, a, b)
+        flow_fn = lambda a, b: stitch_models.flow_model.apply(
+            flow_params, a, b)
         out = train_eval_forward(homo_fn, flow_fn, img1, img2, align_cfg)
         warped = out["final_warp_output"][..., 0:3]
         valid = out["final_warp_output"][..., 3:6].mean(-1, keepdims=True)
         return warped, valid
+
+    return eval_step
+
+
+def validate_with_model(cfg, loader, stitch_models, align_cfg,
+                        eval_step=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stitchax.metrics import psnr_batch, ssim_batch
+
+    if eval_step is None:
+        eval_step = make_eval_step(stitch_models, align_cfg)
 
     # data-parallel across every visible chip: batch-shard inputs, XLA
     # partitions the replicated-model forward (SURVEY.md §2.10 rebuild)
@@ -75,7 +90,8 @@ def validate_with_model(cfg, loader, stitch_models, align_cfg):
                 img2 = jnp.concatenate([img2, img2[-1:].repeat(pad, 0)], 0)
             img1 = jax.device_put(img1, sharding)
             img2 = jax.device_put(img2, sharding)
-        warped, valid = eval_step(img1, img2)
+        warped, valid = eval_step(stitch_models.flow_params,
+                                  stitch_models.homo_params, img1, img2)
         warped, valid = warped[:true_n], valid[:true_n]
 
         i1 = np.clip(np.asarray(img1)[:true_n], 0, 255).astype(np.uint8)

@@ -189,7 +189,8 @@ class Stitcher:
                  mix_method: str = "all_img1_with_inpaint",
                  homo_fn: Optional[Callable] = None,
                  flow_fn: Optional[Callable] = None,
-                 input_bucket: int = 0):
+                 input_bucket: int = 0,
+                 keep_inpaint_outputs: bool = False):
         self.models = models
         self.cfg = cfg
         self.align_cfg = align_cfg
@@ -197,7 +198,11 @@ class Stitcher:
         self.mix_method = mix_method
         self.mix_fn = MIX_METHODS.get(mix_method)
         self.inpainter_name = inpainter_name
-        self.inpainter = get_inpainter(inpainter_name)
+        # lazy: get_inpainter("transref_inpainter") inits a full 512
+        # TransRef, which must not be paid at construction time (callers
+        # may override .inpainter — tests, custom sizes — and a sweep's
+        # first TPS stage overlaps the init with earlier device work)
+        self._inpainter = None
         self._step_cache: Dict[Tuple, Callable] = {}
         # input-resolution bucketing: round input dims up to a multiple of
         # `input_bucket` (0 = stitch at native res). A mixed-resolution
@@ -206,6 +211,12 @@ class Stitcher:
         # tunnel. Generalizes the reference's own resize_to_512 model path
         # (core/flowHomoAdpater.py:203-205).
         self.input_bucket = int(input_bucket or 0)
+        # opt-in fetch of the mix stage's inpaint intermediates
+        # (inpaint_img / inpaint_area_mask). Off by default: the reference
+        # never saves them (out.py:266-275) and the packed device->host
+        # fetch is the per-pair bottleneck on the relay link — four extra
+        # channels would tax every production stitch for debug-only data.
+        self.keep_inpaint_outputs = bool(keep_inpaint_outputs)
         self.compile_events: List[Tuple] = []   # compile telemetry
 
         # homo_fn/flow_fn overrides support stub backbones in tests and
@@ -231,6 +242,16 @@ class Stitcher:
         self._flow_fn = flow_fn
 
     # ----------------------- cached jitted stages --------------------------
+
+    @property
+    def inpainter(self):
+        if self._inpainter is None:
+            self._inpainter = get_inpainter(self.inpainter_name)
+        return self._inpainter
+
+    @inpainter.setter
+    def inpainter(self, value):
+        self._inpainter = value
 
     def _params_version(self) -> int:
         return self.models.version if self.models is not None else 0
@@ -489,6 +510,9 @@ class Stitcher:
             "width_min": width_min, "height_min": height_min,
             "out_h": true_h, "out_w": true_w,
         }
+        if self.keep_inpaint_outputs:
+            result["inpaint_img"] = t["inpaint_img"]
+            result["inpaint_area_mask"] = t["inpaint_area_mask"]
 
         if self.models is not None and self.models.comp_model is not None:
             o1, o2 = result["warp1"][None], result["warp2"][None]

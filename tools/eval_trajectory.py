@@ -41,7 +41,7 @@ def main():
 
     import orbax.checkpoint as ocp
 
-    from evaluate import validate_with_model
+    from evaluate import make_eval_step, validate_with_model
     from stitchax.align.adapter import AlignConfig
     from stitchax.data import PrefetchLoader, UDISDataset
     from stitchax.run import StitchModels
@@ -75,9 +75,13 @@ def main():
 
     ckpt = ocp.StandardCheckpointer()
     rows = []
+    # ONE jitted step shared by every checkpoint (params are arguments,
+    # not closure constants — see evaluate.make_eval_step)
+    eval_step = make_eval_step(models, align_cfg)
 
     def eval_at(step_label):
-        r = validate_with_model(cfg, loader, models, align_cfg)
+        r = validate_with_model(cfg, loader, models, align_cfg,
+                                eval_step=eval_step)
         r["step"] = step_label
         rows.append(r)
         print(f"[step {step_label}] avg_psnr={r['avg_psnr']:.4f} "
