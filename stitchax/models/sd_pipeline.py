@@ -15,7 +15,12 @@ Notes on fidelity:
 Checkpoint container: a torch.save'd dict with diffusers state dicts under
 keys {"unet", "controlnet", "vae", "clip"} (zero-egress env — the
 reference's runwayml/lllyasviel downloads must be converted offline into
-this container; see tools/pack_sd_checkpoint.py).
+this container; see tools/pack_sd_checkpoint.py). An optional "configs"
+entry ({"unet": UNetConfig kwargs, "vae": AutoencoderKL kwargs, "clip":
+ClipTextEncoder kwargs}) sizes the models to whatever was packed; absent,
+the SD-1.5 defaults apply. tools/make_random_sd_checkpoint.py uses this to
+drive the REAL UNet+ControlNet+VAE DDIM plugin path at reduced scale
+in-environment (no weights ship with the reference either).
 """
 
 from __future__ import annotations
@@ -77,17 +82,27 @@ def make_sd_inpaint_fn(unet_vars: Any, controlnet_vars: Any, vae_vars: Any,
     return inpaint_fn
 
 
-def load_sd_checkpoint(path: str, cfg: UNetConfig = UNetConfig(),
+def load_sd_checkpoint(path: str, cfg: Optional[UNetConfig] = None,
                        num_steps: int = 50, seed: int = 0) -> Callable:
-    """Convert a packed torch checkpoint into a ready inpaint_fn."""
+    """Convert a packed torch checkpoint into a ready inpaint_fn.
+
+    Model sizes come from the blob's optional "configs" entry (see module
+    docstring); an explicit `cfg` argument overrides the packed UNet config.
+    """
     import torch
 
     blobs = torch.load(path, map_location="cpu", weights_only=False)
+    configs = blobs.get("configs", {})
+    if cfg is None:
+        cfg = UNetConfig(**configs.get("unet", {}))
+    vae = AutoencoderKL(**configs.get("vae", {}))
+    clip = ClipTextEncoder(**configs.get("clip", {}))
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     unet_vars = as_jnp(convert_sd_unet(blobs["unet"], cfg))
     cnet_vars = as_jnp(convert_controlnet(blobs["controlnet"], cfg))
     vae_vars = as_jnp(convert_vae(blobs["vae"]))
     clip_vars = as_jnp(convert_clip_text(blobs["clip"]))
-    context = ClipTextEncoder().apply(clip_vars, empty_prompt_tokens())
+    context = clip.apply(clip_vars, empty_prompt_tokens())
     return make_sd_inpaint_fn(unet_vars, cnet_vars, vae_vars, context,
-                              cfg=cfg, num_steps=num_steps, seed=seed)
+                              cfg=cfg, vae=vae, num_steps=num_steps,
+                              seed=seed)
