@@ -9,6 +9,8 @@
   is deterministic for a fixed seed.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -337,6 +339,34 @@ class TestEndToEnd:
         # fixed seed -> deterministic
         out2 = jax.jit(fn)(img, mask)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_load_sd_checkpoint_sizes_from_configs(self, rng, tmp_path):
+        """The packed blob's 'configs' entry must size UNet/VAE/CLIP
+        (tools/make_random_sd_checkpoint.py writes reduced-scale packs so
+        the real DDIM plugin path can run in this zero-egress env)."""
+        import subprocess
+        import sys as _sys
+
+        from stitchax.models.sd_pipeline import load_sd_checkpoint
+
+        pack = tmp_path / "sd_rand_tiny.pt"
+        r = subprocess.run(
+            [_sys.executable, "tools/make_random_sd_checkpoint.py",
+             "--out", str(pack), "--width", "8"],
+            capture_output=True, text=True,
+            cwd=os.path.join(os.path.dirname(__file__), ".."))
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        fn = load_sd_checkpoint(str(pack), num_steps=2)
+        img = jnp.asarray(rng.uniform(0, 255, (64, 64, 3)), jnp.float32)
+        mask = jnp.zeros((64, 64, 1)).at[16:32, 16:32].set(1.0)
+        out = jax.jit(fn)(img, mask)
+        assert out.shape == (64, 64, 3)
+        assert bool(jnp.isfinite(out).all())
+        np.testing.assert_allclose(np.asarray(out)[:8, :8],
+                                   np.asarray(img)[:8, :8])
+        assert float(jnp.abs(out[16:32, 16:32]
+                             - img[16:32, 16:32]).mean()) > 1.0
 
     def test_inpainter_uses_real_loop_when_given_denoise_fn(self, rng):
         from stitchax.compose.inpainters import StableDiffusionInpainter
