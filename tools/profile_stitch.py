@@ -84,11 +84,15 @@ def main():
         r["output1"][0], r["mask1"][0], r["H_warp"][0], r["H_warp_mask"][0],
         r["final_warp"][0], out["flow"][0], wm0, hm0, occ0, None))
 
-    # grouped align: one batch-2 model step shared by two pairs
+    # grouped align: one batched model step shared by 2 / 4 pairs
     step2 = st._model_step((H, W), 2)
     i1b = jnp.concatenate([i1, i1])
     i2b = jnp.concatenate([i2, i2])
     timeit("align model step (b2 = 2 pairs)", lambda: step2(i1b, i2b))
+    step4 = st._model_step((H, W), 4)
+    i1q = jnp.concatenate([i1] * 4)
+    i2q = jnp.concatenate([i2] * 4)
+    timeit("align model step (b4 = 4 pairs)", lambda: step4(i1q, i2q))
 
     # whole-pipeline host path for comparison
     t0 = time.perf_counter()
