@@ -56,6 +56,63 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(img, np.float32)
 
 
+def host_translation_warp(img: np.ndarray, width_min: float,
+                          height_min: float, out_h: int, out_w: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy replica of the device's translation-only canvas warp of img1
+    (adapter.stitch_render: ops.homography_warp with I_mat = N⁻¹·T·M).
+
+    warp1/mask1 are a pure translation of an image the HOST ALREADY HOLDS,
+    so fetching them through the ~13 MB/s relay link wastes 4 of the packed
+    17 uint8 channels per pair; this reproduces the exact op sequence in
+    float32 instead — the UDIS2 spatial-transformer conventions included
+    (normalized linspace(-1,1,n) output grid, pixel map x=(s+1)·W/2 with W
+    not W-1, and clamped-index "interior" weights that zero any sample whose
+    floor falls outside [0, n-2]; reference:
+    core/udis_utils/torch_homo_transform.py:17-112). Differences vs the
+    device are float32 reassociation ulps (the device path runs the same
+    math fused by XLA), i.e. ≤1 uint8 LSB on pixels landing exactly on a
+    rounding boundary.
+
+    Returns (warp1 (out_h, out_w, 3) float32, mask1 (out_h, out_w, 1)
+    float32 in [0, 1]) at the BUCKETED canvas size, pre-quantization.
+    """
+    H, W, _ = img.shape
+    f32 = np.float32
+    scale = lambda h, w: np.array(
+        [[w / 2.0, 0.0, w / 2.0], [0.0, h / 2.0, h / 2.0], [0.0, 0.0, 1.0]],
+        f32)
+    T = np.eye(3, dtype=f32)
+    T[0, 2] = f32(width_min)
+    T[1, 2] = f32(height_min)
+    theta = (np.linalg.inv(scale(H, W)).astype(f32) @ T
+             @ scale(out_h, out_w)).astype(f32)
+    gx = np.linspace(-1.0, 1.0, out_w, dtype=f32)
+    gy = np.linspace(-1.0, 1.0, out_h, dtype=f32)
+    gxx, gyy = np.meshgrid(gx, gy)
+    g = np.stack([gxx, gyy, np.ones_like(gxx)], -1)
+    Tg = (g @ theta.T).astype(f32)
+    x_s, y_s, t_s = Tg[..., 0], Tg[..., 1], Tg[..., 2]
+    t_s = t_s + f32(1e-6) * (1.0 - (np.abs(t_s) >= f32(1e-7)).astype(f32))
+    x = ((x_s / t_s + 1.0) * (W / 2.0)).astype(f32)
+    y = ((y_s / t_s + 1.0) * (H / 2.0)).astype(f32)
+
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx, fy = x - x0, y - y0
+    inx = ((x0 >= 0) & (x0 <= W - 2)).astype(f32)
+    iny = ((y0 >= 0) & (y0 <= H - 2)).astype(f32)
+    sx = np.clip(x0, 0, W - 2).astype(np.int64)
+    sy = np.clip(y0, 0, H - 2).astype(np.int64)
+    wx0, wx1 = ((1.0 - fx) * inx)[..., None], (fx * inx)[..., None]
+    wy0, wy1 = ((1.0 - fy) * iny)[..., None], (fy * iny)[..., None]
+    out = (img[sy, sx] * (wy0 * wx0) + img[sy, sx + 1] * (wy0 * wx1)
+           + img[sy + 1, sx] * (wy1 * wx0)
+           + img[sy + 1, sx + 1] * (wy1 * wx1)).astype(f32)
+    mask = np.clip((wx0 + wx1) * (wy0 + wy1), 0.0, 1.0).astype(f32)
+    return out, mask
+
+
 def save_image(path: str, arr: np.ndarray):
     from PIL import Image
     a = np.clip(np.asarray(arr), 0, 255).astype(np.uint8)
@@ -190,7 +247,8 @@ class Stitcher:
                  homo_fn: Optional[Callable] = None,
                  flow_fn: Optional[Callable] = None,
                  input_bucket: int = 0,
-                 keep_inpaint_outputs: bool = False):
+                 keep_inpaint_outputs: bool = False,
+                 host_reconstruct: bool = True):
         self.models = models
         self.cfg = cfg
         self.align_cfg = align_cfg
@@ -217,6 +275,15 @@ class Stitcher:
         # fetch is the per-pair bottleneck on the relay link — four extra
         # channels would tax every production stitch for debug-only data.
         self.keep_inpaint_outputs = bool(keep_inpaint_outputs)
+        # host-side reconstruction of link-redundant outputs: warp1/mask1
+        # are a translation-only warp of img1 (which the host already has)
+        # and ave_fusion is the closed-form blend of packed outputs, so
+        # none of the three needs to cross the ~13 MB/s relay — the packed
+        # fetch drops from 17 to 10 uint8 channels/pixel (41% fewer bytes
+        # on the per-pair bottleneck). STITCHAX_FETCH_ALL=1 restores the
+        # full device fetch (debugging / exact-device-value capture).
+        self.host_reconstruct = bool(host_reconstruct) and (
+            os.environ.get("STITCHAX_FETCH_ALL", "0") != "1")
         self.compile_events: List[Tuple] = []   # compile telemetry
 
         # homo_fn/flow_fn overrides support stub backbones in tests and
@@ -462,10 +529,11 @@ class Stitcher:
                 "height_min": scalar(out["height_min"], g),
             }
             states.append(self._render_pair_device(
-                i1[g:g + 1], i2[g:g + 1], out_g, box[g]))
+                i1[g:g + 1], i2[g:g + 1], out_g, box[g],
+                host_img1=pairs[g][0]))
         return states
 
-    def _render_pair_device(self, i1, i2, out, box) -> Dict:
+    def _render_pair_device(self, i1, i2, out, box, host_img1=None) -> Dict:
         """Canvas render + TPS + composition + uint8 pack for ONE pair
         ((1, H, W, 3) inputs, per-pair model-step outputs)."""
         a = self.align_cfg
@@ -543,16 +611,21 @@ class Stitcher:
         # parity-exact (these outputs are materialized as 8-bit JPEGs).
         canvas = lambda v: (isinstance(v, jnp.ndarray) and v.ndim == 3
                             and v.shape[:2] == (out_h, out_w))
+        # warp1/mask1/ave_fusion never cross the link when the host can
+        # rebuild them (host_translation_warp + the blend closed form)
+        recon = self.host_reconstruct and host_img1 is not None
+        skip = {"warp1", "mask1", "ave_fusion"} if recon else set()
         img_keys = [k for k, v in result.items()
-                    if canvas(v) and v.shape[2] == 3]
+                    if canvas(v) and v.shape[2] == 3 and k not in skip]
         mask_keys = [k for k, v in result.items()
-                     if canvas(v) and v.shape[2] == 1]
+                     if canvas(v) and v.shape[2] == 1 and k not in skip]
         pack = self._pack_step(out_h, out_w, len(img_keys), len(mask_keys))
         packed = pack([result[k] for k in img_keys],
                       [result[k] for k in mask_keys])
         other = [k for k, v in result.items()
                  if isinstance(v, jnp.ndarray) and v.ndim == 3
-                 and k not in img_keys and k not in mask_keys]
+                 and k not in img_keys and k not in mask_keys
+                 and k not in skip]
         for leaf in [packed] + [result[k] for k in other]:
             try:
                 leaf.copy_to_host_async()
@@ -560,7 +633,9 @@ class Stitcher:
                 pass
         return dict(result=result, packed=packed, img_keys=img_keys,
                     mask_keys=mask_keys, other=other,
-                    dims=(out_h, out_w, true_h, true_w))
+                    dims=(out_h, out_w, true_h, true_w),
+                    recon=((np.asarray(host_img1, np.float32),
+                            width_min, height_min) if recon else None))
 
     def _stitch_finalize(self, state: Dict) -> Dict[str, np.ndarray]:
         """Materialize a _stitch_device state on the host: one packed-uint8
@@ -582,6 +657,21 @@ class Stitcher:
             if arr.shape[:2] == (out_h, out_w):
                 arr = arr[:true_h, :true_w]
             np_result[k] = arr
+        if state.get("recon") is not None:
+            img1_np, wm, hm = state["recon"]
+            w1, m1 = host_translation_warp(img1_np, wm, hm, out_h, out_w)
+            w1, m1 = w1[:true_h, :true_w], m1[:true_h, :true_w]
+            o2, m2 = np_result["warp2"], np_result["mask2"]
+            # the device blend formula verbatim (_tps_step), on the same
+            # quantized o2/m2 the host received and the pre-quantization
+            # w1/m1 the device used
+            denom = np.maximum(m1 + m2, 1e-6)
+            ave = np.clip((w1 * m1 + o2 * m2) / denom, 0, 255)
+            np_result["warp1"] = np.rint(np.clip(w1, 0, 255)).astype(
+                np.float32)
+            np_result["mask1"] = np.rint(
+                np.clip(m1, 0, 1) * 255.0).astype(np.float32) / 255.0
+            np_result["ave_fusion"] = np.rint(ave).astype(np.float32)
         return np_result
 
     def _load_pair(self, data_dict: Dict[str, str]):
