@@ -56,6 +56,12 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(img, np.float32)
 
 
+def _np_scale_matrix(h: float, w: float) -> np.ndarray:
+    return np.array(
+        [[w / 2.0, 0.0, w / 2.0], [0.0, h / 2.0, h / 2.0], [0.0, 0.0, 1.0]],
+        np.float32)
+
+
 def host_translation_warp(img: np.ndarray, width_min: float,
                           height_min: float, out_h: int, out_w: int
                           ) -> Tuple[np.ndarray, np.ndarray]:
@@ -65,28 +71,35 @@ def host_translation_warp(img: np.ndarray, width_min: float,
     warp1/mask1 are a pure translation of an image the HOST ALREADY HOLDS,
     so fetching them through the ~13 MB/s relay link wastes 4 of the packed
     17 uint8 channels per pair; this reproduces the exact op sequence in
-    float32 instead — the UDIS2 spatial-transformer conventions included
-    (normalized linspace(-1,1,n) output grid, pixel map x=(s+1)·W/2 with W
-    not W-1, and clamped-index "interior" weights that zero any sample whose
-    floor falls outside [0, n-2]; reference:
-    core/udis_utils/torch_homo_transform.py:17-112). Differences vs the
-    device are float32 reassociation ulps (the device path runs the same
-    math fused by XLA), i.e. ≤1 uint8 LSB on pixels landing exactly on a
-    rounding boundary.
-
-    Returns (warp1 (out_h, out_w, 3) float32, mask1 (out_h, out_w, 1)
-    float32 in [0, 1]) at the BUCKETED canvas size, pre-quantization.
+    float32 instead. Returns (warp1 (out_h, out_w, 3) float32, mask1
+    (out_h, out_w, 1) float32 in [0, 1]) at the BUCKETED canvas size,
+    pre-quantization.
     """
     H, W, _ = img.shape
     f32 = np.float32
-    scale = lambda h, w: np.array(
-        [[w / 2.0, 0.0, w / 2.0], [0.0, h / 2.0, h / 2.0], [0.0, 0.0, 1.0]],
-        f32)
     T = np.eye(3, dtype=f32)
     T[0, 2] = f32(width_min)
     T[1, 2] = f32(height_min)
-    theta = (np.linalg.inv(scale(H, W)).astype(f32) @ T
-             @ scale(out_h, out_w)).astype(f32)
+    theta = (np.linalg.inv(_np_scale_matrix(H, W)).astype(f32) @ T
+             @ _np_scale_matrix(out_h, out_w)).astype(f32)
+    return host_homography_warp(img, theta, out_h, out_w)
+
+
+def host_homography_warp(img: np.ndarray, theta: np.ndarray,
+                         out_h: int, out_w: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy replica of ops.homography_warp (+ a ones coverage mask): the
+    UDIS2 spatial-transformer conventions — normalized linspace(-1,1,n)
+    output grid, pixel map x=(s+1)·W/2 with W not W-1, and clamped-index
+    "interior" weights that zero any sample whose floor falls outside
+    [0, n-2] (reference: core/udis_utils/torch_homo_transform.py:17-112).
+    Differences vs the device are float32 reassociation ulps (the device
+    runs the same math fused by XLA), i.e. ≤1 uint8 LSB on pixels landing
+    exactly on a rounding boundary.
+    """
+    H, W, _ = img.shape
+    f32 = np.float32
+    theta = np.asarray(theta, f32)
     gx = np.linspace(-1.0, 1.0, out_w, dtype=f32)
     gy = np.linspace(-1.0, 1.0, out_h, dtype=f32)
     gxx, gyy = np.meshgrid(gx, gy)
@@ -276,12 +289,14 @@ class Stitcher:
         # channels would tax every production stitch for debug-only data.
         self.keep_inpaint_outputs = bool(keep_inpaint_outputs)
         # host-side reconstruction of link-redundant outputs: warp1/mask1
-        # are a translation-only warp of img1 (which the host already has)
-        # and ave_fusion is the closed-form blend of packed outputs, so
-        # none of the three needs to cross the ~13 MB/s relay — the packed
-        # fetch drops from 17 to 10 uint8 channels/pixel (41% fewer bytes
-        # on the per-pair bottleneck). STITCHAX_FETCH_ALL=1 restores the
-        # full device fetch (debugging / exact-device-value capture).
+        # are a translation-only warp of img1 (which the host already has),
+        # H_warp is a homography warp of img2 (ditto, given the 9 floats of
+        # H riding the box fetch), and ave_fusion is the closed-form blend
+        # of packed outputs — so none of the four needs to cross the
+        # ~13 MB/s relay: the packed fetch drops from 17 to 7 uint8
+        # channels/pixel (59% fewer bytes on the per-pair bottleneck).
+        # STITCHAX_FETCH_ALL=1 restores the full device fetch (debugging /
+        # exact-device-value capture).
         self.host_reconstruct = bool(host_reconstruct) and (
             os.environ.get("STITCHAX_FETCH_ALL", "0") != "1")
         self.compile_events: List[Tuple] = []   # compile telemetry
@@ -508,14 +523,22 @@ class Stitcher:
 
         # ONE batched host fetch for the canvas boxes: each float() is a
         # blocking round-trip through the remote-TPU relay (~100 ms), and
-        # four of them serialized dominate the per-pair host path
+        # four of them serialized dominate the per-pair host path. The
+        # (G, 3, 3) homographies ride the same fetch when the host will
+        # reconstruct H_warp from them (9 floats/pair, link-free vs a
+        # 3-channel canvas image).
+        fetch = {}
         if "canvas_box" in out:
-            box = np.asarray(jax.device_get(out["canvas_box"]))
+            fetch["box"] = out["canvas_box"]
         else:  # stub model steps in tests return separate scalars
-            box = np.asarray(jax.device_get(
-                [out["width_min"], out["height_min"],
-                 out["width_max"], out["height_max"]])).T
-        box = box.reshape(G, 4)
+            fetch["box4"] = [out["width_min"], out["height_min"],
+                             out["width_max"], out["height_max"]]
+        if self.host_reconstruct and "H" in out:
+            fetch["H"] = out["H"]
+        got = jax.device_get(fetch)
+        box = (np.asarray(got["box"]) if "box" in got
+               else np.asarray(got["box4"]).T).reshape(G, 4)
+        H_host = np.asarray(got["H"], np.float32) if "H" in got else None
 
         oom = out.get("origin_occlusion_mask")
         scalar = lambda v, g: v[g] if getattr(v, "ndim", 0) else v
@@ -530,10 +553,12 @@ class Stitcher:
             }
             states.append(self._render_pair_device(
                 i1[g:g + 1], i2[g:g + 1], out_g, box[g],
-                host_img1=pairs[g][0]))
+                host_img1=pairs[g][0], host_img2=pairs[g][1],
+                H_host=None if H_host is None else H_host[g]))
         return states
 
-    def _render_pair_device(self, i1, i2, out, box, host_img1=None) -> Dict:
+    def _render_pair_device(self, i1, i2, out, box, host_img1=None,
+                            host_img2=None, H_host=None) -> Dict:
         """Canvas render + TPS + composition + uint8 pack for ONE pair
         ((1, H, W, 3) inputs, per-pair model-step outputs)."""
         a = self.align_cfg
@@ -612,9 +637,13 @@ class Stitcher:
         canvas = lambda v: (isinstance(v, jnp.ndarray) and v.ndim == 3
                             and v.shape[:2] == (out_h, out_w))
         # warp1/mask1/ave_fusion never cross the link when the host can
-        # rebuild them (host_translation_warp + the blend closed form)
+        # rebuild them (host_translation_warp + the blend closed form);
+        # H_warp likewise when the 3x3 H rode the box fetch
+        # (host_homography_warp on img2, which the host also holds)
         recon = self.host_reconstruct and host_img1 is not None
         skip = {"warp1", "mask1", "ave_fusion"} if recon else set()
+        if recon and host_img2 is not None and H_host is not None:
+            skip.add("H_warp")
         img_keys = [k for k, v in result.items()
                     if canvas(v) and v.shape[2] == 3 and k not in skip]
         mask_keys = [k for k, v in result.items()
@@ -635,7 +664,11 @@ class Stitcher:
                     mask_keys=mask_keys, other=other,
                     dims=(out_h, out_w, true_h, true_w),
                     recon=((np.asarray(host_img1, np.float32),
-                            width_min, height_min) if recon else None))
+                            width_min, height_min,
+                            None if "H_warp" not in skip
+                            else np.asarray(host_img2, np.float32),
+                            H_host if "H_warp" in skip else None)
+                           if recon else None))
 
     def _stitch_finalize(self, state: Dict) -> Dict[str, np.ndarray]:
         """Materialize a _stitch_device state on the host: one packed-uint8
@@ -658,7 +691,7 @@ class Stitcher:
                 arr = arr[:true_h, :true_w]
             np_result[k] = arr
         if state.get("recon") is not None:
-            img1_np, wm, hm = state["recon"]
+            img1_np, wm, hm, img2_np, H_np = state["recon"]
             w1, m1 = host_translation_warp(img1_np, wm, hm, out_h, out_w)
             w1, m1 = w1[:true_h, :true_w], m1[:true_h, :true_w]
             o2, m2 = np_result["warp2"], np_result["mask2"]
@@ -672,6 +705,20 @@ class Stitcher:
             np_result["mask1"] = np.rint(
                 np.clip(m1, 0, 1) * 255.0).astype(np.float32) / 255.0
             np_result["ave_fusion"] = np.rint(ave).astype(np.float32)
+            if H_np is not None and img2_np is not None:
+                # H_canvas = N^-1 (H T) M, exactly as stitch_render builds
+                # it (adapter.py: H @ translation, then conjugation)
+                f32 = np.float32
+                H2, W2, _ = img2_np.shape
+                T = np.eye(3, dtype=f32)
+                T[0, 2] = f32(wm)
+                T[1, 2] = f32(hm)
+                theta = (np.linalg.inv(_np_scale_matrix(H2, W2)).astype(f32)
+                         @ (H_np @ T) @ _np_scale_matrix(out_h, out_w)
+                         ).astype(f32)
+                hw, _ = host_homography_warp(img2_np, theta, out_h, out_w)
+                np_result["H_warp"] = np.rint(
+                    np.clip(hw[:true_h, :true_w], 0, 255)).astype(np.float32)
         return np_result
 
     def _load_pair(self, data_dict: Dict[str, str]):
