@@ -538,3 +538,63 @@ def convert_transref(sd: Mapping[str, Any]) -> Dict[str, Any]:
         "tenc": tenc, "tdec": tdec, "convtail": tail,
         "clean": _convp(sd, "clean.conv2d"),
     }}
+
+
+# --------------------------- npz param snapshots ----------------------------
+#
+# Trained-in-repo weights need a durable, framework-native container (the
+# reference ships torch .pth files via Google Drive, README.md:8; stitchax
+# trains its own). bf16 is lossless for inference here: every model runs
+# through bf16_call on device, so fp32 masters are cast to bf16 at call
+# time anyway.
+
+def save_params_npz(path: str, tree: Any) -> None:
+    """Save a (nested-dict) param tree as a compressed npz, float32 leaves
+    stored as bf16 bit patterns (half the bytes, inference-lossless)."""
+    import jax
+    import ml_dtypes
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = jax.tree_util.keystr(kp)
+        arr = np.asarray(leaf)
+        if arr.dtype == np.float32:
+            arr = arr.astype(ml_dtypes.bfloat16).view(np.uint16)
+            key = "bf16:" + key
+        flat[key] = arr
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str, target: Any) -> Any:
+    """Load an npz saved by save_params_npz into `target`'s tree structure
+    (leaf paths must match; leaves are cast to the target leaf dtypes)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    data = np.load(path)
+    stored: Dict[str, np.ndarray] = {}
+    for k in data.files:
+        if k.startswith("bf16:"):
+            stored[k[len("bf16:"):]] = np.asarray(
+                data[k]).view(ml_dtypes.bfloat16).astype(np.float32)
+        else:
+            stored[k] = np.asarray(data[k])
+    paths, treedef = jax.tree_util.tree_flatten_with_path(target)
+    leaves = []
+    for kp, leaf in paths:
+        key = jax.tree_util.keystr(kp)
+        if key not in stored:
+            raise KeyError(f"npz {path} missing param {key}")
+        arr = stored[key]
+        ref = np.asarray(leaf)
+        if arr.shape != ref.shape:
+            raise ValueError(
+                f"npz param {key}: shape {arr.shape} != target {ref.shape}")
+        leaves.append(jnp.asarray(arr, dtype=ref.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def npz_has_subtree(path: str, name: str) -> bool:
+    """True if any stored leaf path starts at top-level key `name`."""
+    data = np.load(path)
+    probe = f"['{name}']"
+    return any(k.split(":", 1)[-1].startswith(probe) for k in data.files)

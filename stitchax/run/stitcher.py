@@ -185,6 +185,8 @@ class StitchModels:
         ckpt = getattr(cfg, "restore_ckpt", None) or ""
         if ckpt and os.path.isdir(ckpt):
             models.restore(ckpt)                      # orbax directory
+        elif ckpt and os.path.isfile(ckpt) and ckpt.endswith(".npz"):
+            models.restore_npz(ckpt)                  # stitchax npz snapshot
         elif ckpt and os.path.isfile(ckpt):
             models.restore_torch(ckpt)                # reference final_ckpt
         elif ckpt:
@@ -224,6 +226,23 @@ class StitchModels:
             self.flow_params = as_jnp(convert.convert_flowformer(sd))
         self.version += 1
         print(f"[StitchModels] converted torch checkpoint {path}")
+
+    def restore_npz(self, path: str):
+        """Load a convert.save_params_npz snapshot ({flow, homo[, comp]}
+        trees, bf16-stored) — the repo's durable container for trained-in-
+        repo weights (e.g. results/ckpt_r04_bf16.npz)."""
+        from .. import convert
+        tpl = {"flow": self.flow_params, "homo": self.homo_params}
+        if self.comp_params is not None and convert.npz_has_subtree(
+                path, "comp"):
+            tpl["comp"] = self.comp_params
+        restored = convert.load_params_npz(path, tpl)
+        self.flow_params = restored["flow"]
+        self.homo_params = restored["homo"]
+        if "comp" in restored:
+            self.comp_params = restored["comp"]
+        self.version += 1
+        print(f"[StitchModels] loaded npz snapshot {path}")
 
     def restore(self, path: str):
         """Orbax restore of {flow, homo, comp} param trees."""

@@ -195,3 +195,41 @@ class TestModelConverters:
         got_keys = {jax.tree_util.keystr(p): v.shape for p, v in
                     jax.tree_util.tree_leaves_with_path(variables)}
         assert ref_keys == got_keys
+
+
+def test_npz_param_snapshot_roundtrip(tmp_path):
+    """save_params_npz/load_params_npz: bf16-stored float leaves round-trip
+    to bf16 precision, non-float leaves exactly; path mismatches raise."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from stitchax import convert
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "flow": {"params": {"dense": {
+            "kernel": rng.normal(size=(4, 8)).astype(np.float32),
+            "bias": rng.normal(size=(8,)).astype(np.float32)}}},
+        "homo": {"params": {"step": np.asarray(7, np.int32)}},
+    }
+    path = str(tmp_path / "snap.npz")
+    convert.save_params_npz(path, tree)
+
+    target = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(np.shape(a), np.asarray(a).dtype), tree)
+    out = convert.load_params_npz(path, target)
+    k = np.asarray(out["flow"]["params"]["dense"]["kernel"])
+    ref = tree["flow"]["params"]["dense"]["kernel"]
+    bf16 = ref.astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(k, bf16)          # exactly the bf16 cast
+    assert np.abs(k - ref).max() < 0.01
+    assert int(out["homo"]["params"]["step"]) == 7  # int stored exactly
+    assert convert.npz_has_subtree(path, "flow")
+    assert not convert.npz_has_subtree(path, "comp")
+
+    bad = {"flow": target["flow"]}                  # structure mismatch
+    out2 = convert.load_params_npz(path, bad)       # subtree-only is fine
+    assert np.asarray(out2["flow"]["params"]["dense"]["bias"]).shape == (8,)
+    with pytest.raises(KeyError):
+        convert.load_params_npz(path, {"nope": np.zeros(3, np.float32)})
