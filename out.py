@@ -40,6 +40,15 @@ def get_args():
                    help="consecutive same-shape pairs share one batched "
                         "align model step of this size (4 = the measured "
                         "single-chip operating point; 1 disables grouping)")
+    p.add_argument("--transref_ckpt", type=str, default=None,
+                   help="TransRef inpainter weights (flax-serialization "
+                        "msgpack; fp32 or bf16). Sets STITCHAX_TRANSREF_CKPT "
+                        "for the lazily-built inpainter. Trained weights "
+                        "ship at results/transref_ckpt_r04_bf16.msgpack; "
+                        "the reference's 400_Trans.pth converts via "
+                        "stitchax/convert.py convert_transref. Unset = "
+                        "random init (loud warning), matching the "
+                        "reference's behavior without its downloaded ckpt")
     return p.parse_args()
 
 
@@ -51,6 +60,8 @@ def _setup_jax_cache():
 
 def main():
     args = get_args()
+    if args.transref_ckpt:
+        os.environ["STITCHAX_TRANSREF_CKPT"] = args.transref_ckpt
     _setup_jax_cache()
 
     from stitchax.align.adapter import AlignConfig

@@ -398,8 +398,19 @@ def make_default_transref_apply(size: int = 512, seed: int = 0,
     if ckpt:
         from flax import serialization
         with open(ckpt, "rb") as f:
-            params = serialization.from_bytes(params, f.read())
+            restored = serialization.from_bytes(params, f.read())
+        # bf16 snapshots (results/transref_ckpt_r04_bf16.msgpack) restore
+        # with stored dtypes; compute in the template's fp32 (bf16_apply
+        # re-casts below when enabled)
+        params = jax.tree_util.tree_map(
+            lambda t, r: jnp.asarray(r, t.dtype), params, restored)
         print(f"[transref] loaded checkpoint {ckpt}")
+    else:
+        print("[transref] WARNING: no checkpoint — RANDOM-INIT inpainter "
+              "(pass out.py --transref_ckpt "
+              "results/transref_ckpt_r04_bf16.msgpack, set "
+              "STITCHAX_TRANSREF_CKPT, or convert the reference's "
+              "400_Trans.pth via stitchax/convert.py)")
 
     if bf16:
         from ..utils.precision import bf16_apply

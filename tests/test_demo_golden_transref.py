@@ -190,6 +190,40 @@ def test_transref_ckpt_env_contract(tmp_path):
         f"default apply closure's output (max diff {diff})")
 
 
+def test_transref_bf16_snapshot_restores_to_fp32(tmp_path):
+    """A bf16 msgpack snapshot (the committed
+    results/transref_ckpt_r04_bf16.msgpack format) must restore into the
+    fp32 param template with the template's dtype and bf16-rounded values —
+    the loader casts restored leaves to the template dtype so downstream
+    compute paths (fp32 or bf16_apply) see a consistent tree."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from stitchax.models.transref import TransRefBase
+
+    model = TransRefBase()
+    d = jnp.zeros((1, TEST_INPAINT_SIZE, TEST_INPAINT_SIZE, 3), jnp.float32)
+    m = jnp.zeros((1, TEST_INPAINT_SIZE, TEST_INPAINT_SIZE, 1), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), d, m, d)
+    bf = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    ckpt = tmp_path / "transref_ckpt_bf16.msgpack"
+    ckpt.write_bytes(serialization.to_bytes(jax.device_get(bf)))
+
+    restored = serialization.from_bytes(params, ckpt.read_bytes())
+    cast = jax.tree_util.tree_map(
+        lambda t, r: jnp.asarray(r, t.dtype), params, restored)
+    leaves_t, leaves_c = (jax.tree_util.tree_leaves(params),
+                          jax.tree_util.tree_leaves(cast))
+    assert all(c.dtype == t.dtype for t, c in zip(leaves_t, leaves_c))
+    # values are the bf16 rounding of the originals, not garbage
+    for t, c in zip(leaves_t, leaves_c):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(t), rtol=8e-3, atol=1e-6)
+
+
 def _regen():
     out = _stitch_demo()
     mask2_mean = float(np.asarray(out["mask2"]).mean())

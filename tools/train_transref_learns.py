@@ -51,6 +51,11 @@ def get_args():
                    help="also write {out}/transref_ckpt.msgpack (flax "
                         "serialization bytes) loadable via "
                         "STITCHAX_TRANSREF_CKPT by the transref inpainter")
+    p.add_argument("--init_ckpt", type=str, default=None,
+                   help="resume from a saved transref_ckpt.msgpack (fp32 "
+                        "or bf16 snapshot) instead of random init; the "
+                        "improves-over-init check then measures the "
+                        "continuation's gain over the loaded weights")
     return p.parse_args()
 
 
@@ -59,14 +64,20 @@ def load_demo_images(size):
     from PIL import Image
 
     demos = []
-    root = os.path.join(os.path.dirname(__file__), "..", "demo_data")
-    for d in sorted(os.listdir(root)):
-        for name in ("input1.jpg", "input2.jpg"):
-            f = os.path.join(root, d, name)
-            if os.path.isfile(f):
-                demos.append(np.asarray(
-                    Image.open(f).convert("RGB").resize(
-                        (size, size), Image.BILINEAR), np.float32))
+    base = os.path.join(os.path.dirname(__file__), "..")
+    # both bundled pools: demo_data (noise textures — the hard case) and
+    # demo_scenes (structured synthetic scenes)
+    for pool in ("demo_data", "demo_scenes"):
+        root = os.path.join(base, pool)
+        if not os.path.isdir(root):
+            continue
+        for d in sorted(os.listdir(root)):
+            for name in ("input1.jpg", "input2.jpg"):
+                f = os.path.join(root, d, name)
+                if os.path.isfile(f):
+                    demos.append(np.asarray(
+                        Image.open(f).convert("RGB").resize(
+                            (size, size), Image.BILINEAR), np.float32))
     assert demos, "no demo images found"
     return demos
 
@@ -148,6 +159,14 @@ def main():
     img0 = jnp.zeros((1, S, S, 3), jnp.float32)
     mask0 = jnp.zeros((1, S, S, 1), jnp.float32)
     params = jax.jit(model.init)(k_init, img0, mask0, img0)
+    if args.init_ckpt:
+        from flax import serialization
+        with open(args.init_ckpt, "rb") as f:
+            restored = serialization.from_bytes(params, f.read())
+        # cast to the template dtype so bf16 snapshots resume in fp32
+        params = jax.tree_util.tree_map(
+            lambda t, r: jnp.asarray(r, t.dtype), params, restored)
+        print(f"resumed from {args.init_ckpt}", flush=True)
     vgg = VGG16Features()
     vgg_params = jax.jit(vgg.init)(k_init, img0)
     print("NOTE: random-init VGG16 (no torchvision ckpt in this env) — "
