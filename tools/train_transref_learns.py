@@ -219,6 +219,14 @@ def main():
                 history.append(dict(step=step, loss=losses[-1], hole_psnr=p))
                 print(f"[step {step}] loss {losses[-1]:.4f}  "
                       f"hole PSNR {p:.2f}", flush=True)
+                if args.save_ckpt:
+                    # overwrite at every eval point: a long TPU run killed
+                    # by timeout/relay death then costs <= eval_every steps
+                    from flax import serialization
+                    path = os.path.join(args.out, "transref_ckpt.msgpack")
+                    with open(path, "wb") as f:
+                        f.write(serialization.to_bytes(
+                            jax.device_get(params)))
 
     # before/after panel on the first eval triple
     try:
