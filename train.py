@@ -27,6 +27,14 @@ def get_args():
                    help="emit a figure dashboard (inputs/flow/warp/blend) "
                         "every N steps; 0 disables")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--init_npz", type=str, default=None,
+                   help="warm-start params from a {flow, homo} bf16 npz "
+                        "snapshot (convert.save_params_npz) — optimizer "
+                        "state and step count start fresh; use to EXTEND a "
+                        "run whose fp32 orbax original is gone (pair with "
+                        "--lr for a lower warm-restart peak)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override trainer.canonical_lr")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--image_size", type=int, default=None,
                    help="override cfg.image_size (square)")
@@ -87,9 +95,15 @@ def main():
     img = jnp.zeros((1, S, S, 3), jnp.float32)
     params = {"homo": jax.jit(homo_model.init)(k, img, img),
               "flow": jax.jit(flow_model.init)(k, img, img)}
+    if args.init_npz:
+        from stitchax import convert
+        params.update(convert.load_params_npz(
+            os.path.abspath(args.init_npz),
+            {"flow": params["flow"], "homo": params["homo"]}))
+        print(f"warm-started params from {args.init_npz}")
 
     optim_cfg = OptimConfig(
-        canonical_lr=trainer.canonical_lr, num_steps=num_steps,
+        canonical_lr=args.lr or trainer.canonical_lr, num_steps=num_steps,
         adamw_decay=trainer.adamw_decay, epsilon=trainer.epsilon,
         clip=trainer.clip, anneal_strategy=trainer.anneal_strategy,
         batch_scale=cfg.batch_size)
