@@ -314,6 +314,10 @@ class Stitcher:
         # of packed outputs — so none of the four needs to cross the
         # ~13 MB/s relay: the packed fetch drops from 17 to 7 uint8
         # channels/pixel (59% fewer bytes on the per-pair bottleneck).
+        # With the composition stage on, composition/learned_mask2 are
+        # likewise compose_seam's closed form of packed lm1/warp2/mask2 +
+        # the host's own warp1/mask1 (12 -> 8 channels) whenever the
+        # composition ran at canvas resolution (no <512 upsize).
         # STITCHAX_FETCH_ALL=1 restores the full device fetch (debugging /
         # exact-device-value capture).
         self.host_reconstruct = bool(host_reconstruct) and (
@@ -663,6 +667,18 @@ class Stitcher:
         skip = {"warp1", "mask1", "ave_fusion"} if recon else set()
         if recon and host_img2 is not None and H_host is not None:
             skip.add("H_warp")
+        # composition is the compose_seam closed form in [0,255] scale:
+        # composition = warp1*lm1 + warp2*lm2 with lm2 = m1+m2-m1*m2-lm1,
+        # so when the composition ran at canvas resolution (no <512 upsize,
+        # out.py:280-284 rule) the host rebuilds it + learned_mask2 from
+        # the packed lm1/warp2/mask2 and its own warp1/mask1: 4 fewer
+        # channels on the per-pair link bottleneck (12 -> 8 with the
+        # composition stage on)
+        comp_recon = bool(
+            recon and "composition" in result
+            and result["composition"].shape[:2] == (out_h, out_w))
+        if comp_recon:
+            skip.update({"composition", "learned_mask2"})
         img_keys = [k for k, v in result.items()
                     if canvas(v) and v.shape[2] == 3 and k not in skip]
         mask_keys = [k for k, v in result.items()
@@ -680,7 +696,7 @@ class Stitcher:
             except AttributeError:
                 pass
         return dict(result=result, packed=packed, img_keys=img_keys,
-                    mask_keys=mask_keys, other=other,
+                    mask_keys=mask_keys, other=other, comp_recon=comp_recon,
                     dims=(out_h, out_w, true_h, true_w),
                     recon=((np.asarray(host_img1, np.float32),
                             width_min, height_min,
@@ -738,6 +754,17 @@ class Stitcher:
                 hw, _ = host_homography_warp(img2_np, theta, out_h, out_w)
                 np_result["H_warp"] = np.rint(
                     np.clip(hw[:true_h, :true_w], 0, 255)).astype(np.float32)
+            if state.get("comp_recon"):
+                # compose_seam closed form on the packed lm1 and the same
+                # w1/m1 the device used: composition = w1*lm1 + w2*lm2,
+                # lm2 = m1 + m2 - m1*m2 - lm1 (models/udis2.py:184-191);
+                # lm1's 1/255 pack quantization bounds the error at ~1
+                # intensity level (pinned in test_stitcher_reconstruct.py)
+                lm1 = np_result["learned_mask1"]
+                lm2 = np.clip(m1 + m2 - m1 * m2 - lm1, 0.0, 1.0)
+                comp = np.clip(w1 * lm1 + o2 * lm2, 0, 255)
+                np_result["learned_mask2"] = lm2.astype(np.float32)
+                np_result["composition"] = np.rint(comp).astype(np.float32)
         return np_result
 
     def _load_pair(self, data_dict: Dict[str, str]):

@@ -108,3 +108,41 @@ def test_host_translation_warp_semantics(rng):
         m1, np.clip(dev[..., 3:6].mean(-1, keepdims=True), 0, 1), atol=1e-5)
     # coverage mask is exactly 0 outside / 1 strictly inside
     assert m1.max() == 1.0 and m1.min() == 0.0
+
+
+def test_composition_reconstruction_matches_device_fetch(rng):
+    """With the composition stage on and the canvas >= 512 (no upsize,
+    out.py:280-284 rule), composition/learned_mask2 never cross the link:
+    the host rebuilds them from packed lm1/warp2/mask2 + its own warp1.
+    Pinned against the full device fetch to the pack quantization (~1
+    intensity level from lm1's 1/255 step)."""
+    import jax
+    from stitchax.run.stitcher import StitchModels
+    from stitchax.models.udis2 import CompositionNet
+
+    H, W, shift = 512, 560, 48
+    comp_model = CompositionNet()
+    k = jax.random.PRNGKey(0)
+    z3 = jnp.zeros((1, H, W, 3), jnp.float32)
+    z1 = jnp.zeros((1, H, W, 1), jnp.float32)
+    comp_params = jax.jit(comp_model.init)(k, z3, z3, z1, z1)
+    models = StitchModels(None, None, None, None,
+                          comp_model=comp_model, comp_params=comp_params)
+
+    def build(host_reconstruct):
+        s = _stitcher(host_reconstruct, shift=shift, W=W)
+        s.models = models
+        return s
+
+    img1, img2 = _pair(rng, H=H, W=W, shift=shift)
+    full = build(False).stitch(img1, img2)
+    rec = build(True).stitch(img1, img2)
+
+    assert min(full["composition"].shape[:2]) >= 448  # canvas-res comp ran
+    np.testing.assert_array_equal(full["learned_mask1"],
+                                  rec["learned_mask1"])
+    d_lm2 = np.abs(full["learned_mask2"] - rec["learned_mask2"])
+    assert d_lm2.max() <= 2.0 / 255.0 + 1e-6
+    d_c = np.abs(full["composition"] - rec["composition"])
+    assert d_c.max() <= 3.0
+    assert d_c.mean() < 0.2
