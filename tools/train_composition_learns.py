@@ -215,10 +215,13 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     S = args.size
-    w1, w2, m1, m2 = make_warp_tuples(S, args.n_train, args.corner_px,
-                                      args.parallax_px, rng)
-    ew1, ew2, em1, em2 = make_warp_tuples(S, args.n_eval, args.corner_px,
-                                          args.parallax_px, rng)
+    # ONE generation call for train+eval: two calls with different n would
+    # compile two whole program sets through the ~5-min-per-program remote
+    # compile tunnel (CLAUDE.md) for identical math
+    aw = make_warp_tuples(S, args.n_train + args.n_eval, args.corner_px,
+                          args.parallax_px, rng)
+    w1, w2, m1, m2 = (a[:args.n_train] for a in aw)
+    ew1, ew2, em1, em2 = (a[args.n_train:] for a in aw)
 
     model = CompositionNet()
     z3 = jnp.zeros((1, S, S, 3), jnp.float32)
