@@ -42,6 +42,17 @@ class TestOutConfig:
         assert t.mix_method == "all_img1_with_inpaint"
         assert cfg.use_composition is True
 
+    def test_comp_plugin_derives_from_fast_cv_g8(self):
+        # fast_cv_g8_comp = fast_cv_g8 with ONLY the composition stage
+        # flipped on (the round-4 composition pipeline eval's config)
+        base = build_out_config(_args())
+        cfg = build_out_config(_args(inf_cfg="fast_cv_g8_comp"))
+        assert cfg.use_composition is True
+        t, tb = cfg.TPS_PIPELINE_CONFIG, base.TPS_PIPELINE_CONFIG
+        assert t.grid_h == tb.grid_h and t.inpainter == tb.inpainter
+        assert t.mix_method == tb.mix_method
+        assert cfg.pad_mode == base.pad_mode
+
     def test_diffusion_plugin(self):
         cfg = build_out_config(_args(inf_cfg="inpaint_all_area_g12_diffusion"))
         t = cfg.TPS_PIPELINE_CONFIG
