@@ -49,8 +49,69 @@ LAST_BENCH_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "results", "last_bench.json")
 
 
+def _device_ms_per_pair(stitcher, img1, img2):
+    """Synced device compute per pair (align b4 + render + TPS/mix) on the
+    programs the sweep already compiled — link-independent, so a code
+    regression is attributable through the relay's ±50% jitter (the
+    full-stitch headline is link-state-bound; VERDICT r4 #5). Protocol =
+    tools/profile_stitch.py: forced host fetch syncs, 5-iteration loops."""
+    import jax
+    import jax.numpy as jnp
+
+    from stitchax.align.adapter import bucket_canvas
+
+    def sync(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        _ = float(jnp.asarray(leaf).astype(jnp.float32).sum())
+
+    def timeit(fn, iters=5):
+        out = fn()
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        sync(out)
+        return (time.perf_counter() - t0) / iters, out
+
+    a = stitcher.align_cfg
+    i1 = jnp.asarray(img1, jnp.float32)[None]
+    i2 = jnp.asarray(img2, jnp.float32)[None]
+    H, W = i1.shape[1:3]
+
+    step4 = stitcher._model_step((H, W), 4)
+    i1q, i2q = jnp.concatenate([i1] * 4), jnp.concatenate([i2] * 4)
+    align_dt, out = timeit(lambda: step4(i1q, i2q))
+
+    wm0, hm0 = out["width_min"][0], out["height_min"][0]
+    out_w = bucket_canvas(int(float(out["width_max"][0]) - float(wm0)),
+                          a.canvas_bucket, a.max_canvas)
+    out_h = bucket_canvas(int(float(out["height_max"][0]) - float(hm0)),
+                          a.canvas_bucket, a.max_canvas)
+    render = stitcher._render_step((H, W), out_h, out_w)
+    render_dt, r = timeit(lambda: render(
+        i1, i2, out["H"][:1], out["flow"][:1],
+        out.get("origin_occlusion_mask")[:1]
+        if out.get("origin_occlusion_mask") is not None else None,
+        wm0, hm0))
+
+    tps = stitcher._tps_step((H, W), out_h, out_w)
+    tps_dt, _ = timeit(lambda: tps(
+        r["output1"][0], r["mask1"][0], r["H_warp"][0], r["H_warp_mask"][0],
+        r["final_warp"][0], out["flow"][0], wm0, hm0,
+        r["occlusion_mask"][0], None))
+
+    return {
+        "device_ms_per_pair": round((align_dt / 4 + render_dt + tps_dt)
+                                    * 1000, 2),
+        "device_ms_align_b4_per_pair": round(align_dt / 4 * 1000, 2),
+        "device_ms_render": round(render_dt * 1000, 2),
+        "device_ms_tps_mix": round(tps_dt * 1000, 2),
+    }
+
+
 def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
-    """Stitched pairs/sec through the real per-pair pipeline."""
+    """Stitched pairs/sec through the real per-pair pipeline, plus the
+    synced device-only stage breakdown."""
     import numpy as np
     from stitchax.align.adapter import AlignConfig
     from stitchax.run.stitcher import StitchModels, Stitcher, load_image
@@ -69,6 +130,7 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
     # compile the grouped align program stitch_many uses, then settle the
     # tunnel after compile traffic
     list(stitcher.stitch_many([(img1, img2)] * 2))
+    device_ms = _device_ms_per_pair(stitcher, img1, img2)
     # pipelined sweep throughput: stitch_many overlaps pair k's output
     # transfer with pair k+1's device stages — the sweep rate out.py
     # achieves. The relay link carries ±50% latency jitter and slow
@@ -85,7 +147,7 @@ def bench_full_stitch(flow_model, flow_params, homo_model, homo_params):
         dt = time.perf_counter() - t0
         assert n == iters
         rates.append(iters / dt)
-    return sorted(rates)[len(rates) // 2]
+    return sorted(rates)[len(rates) // 2], device_ms
 
 
 def measure():
@@ -145,8 +207,8 @@ def measure():
 
     align_pairs_per_sec = iters * B / dt
 
-    stitch_pairs_per_sec = bench_full_stitch(flow_model, flow_params,
-                                             homo_model, homo_params)
+    stitch_pairs_per_sec, device_ms = bench_full_stitch(
+        flow_model, flow_params, homo_model, homo_params)
 
     print(json.dumps({
         "metric": f"full_stitch_pairs_per_sec_per_chip_384x448 ({backend})",
@@ -157,6 +219,9 @@ def measure():
         "extra": {
             f"align_pairs_per_sec_per_chip_512_b{B}":
                 round(align_pairs_per_sec, 4),
+            # link-independent device compute: the code-attributable number
+            # (the headline rides the relay's ±50% link jitter)
+            **device_ms,
             "vs_baseline_provenance":
                 "value / 0.0313 pairs/s = measured same-host reference-"
                 "torch align rate (tools/bench_reference.py, an upper "

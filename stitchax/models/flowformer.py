@@ -19,6 +19,8 @@ model traces once; inputs are NHWC in [0, 255].
 
 from __future__ import annotations
 
+import functools
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Tuple
 
@@ -667,6 +669,47 @@ def encode_flow_token(cost_maps, coords, r: int = 4):
     return s.reshape(B, H1, W1, win * win * heads)
 
 
+def _lookup_impl() -> str:
+    """Cost-lookup formulation: 'selector' (XLA, default), 'pallas'
+    (VPU barrel-select kernel; falls back off-TPU), or
+    'pallas_interpret' (interpreter mode, for CPU tests)."""
+    return os.environ.get("STITCHAX_COST_LOOKUP", "selector")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def encode_flow_token_t(cm_t, coords, r=4, interpret=False):
+    """encode_flow_token on pre-transposed (H2, P, W2) cost maps via the
+    Pallas barrel-select kernel (ops/pallas/cost_lookup.py) — the decoder
+    hoists the transpose out of its iteration scan. Bit-compatible with
+    the selector form; gradients route through the XLA oracle."""
+    from ..ops.pallas.cost_lookup import cost_lookup_transposed
+    B, H1, W1, _ = coords.shape
+    s = cost_lookup_transposed(cm_t, coords.reshape(B * H1 * W1, 2), r=r,
+                               interpret=interpret)
+    s = s.transpose(0, 2, 1).astype(coords.dtype)   # x-major channel order
+    return s.reshape(B, H1, W1, -1)
+
+
+def _eft_t_oracle(cm_t, coords, r):
+    B, H1, W1, _ = coords.shape
+    H2, P, W2 = cm_t.shape
+    cm = cm_t.transpose(1, 0, 2).reshape(B, H1, W1, H2, W2, 1)
+    return encode_flow_token(cm, coords, r=r)
+
+
+def _eft_t_fwd(cm_t, coords, r, interpret):
+    return encode_flow_token_t(cm_t, coords, r, interpret), (cm_t, coords)
+
+
+def _eft_t_bwd(r, interpret, res, g):
+    cm_t, coords = res
+    _, vjp = jax.vjp(lambda c_, x_: _eft_t_oracle(c_, x_, r), cm_t, coords)
+    return vjp(g)
+
+
+encode_flow_token_t.defvjp(_eft_t_fwd, _eft_t_bwd)
+
+
 class DecoderIteration(nn.Module):
     """One recurrent refinement step, shared-weight across iterations
     (reference: decoder.py:262-344 loop body). Structured for nn.scan:
@@ -681,7 +724,13 @@ class DecoderIteration(nn.Module):
         B, H1, W1, _ = coords1.shape
 
         coords1 = jax.lax.stop_gradient(coords1)
-        cost_forward = encode_flow_token(cost_maps, coords1, r=c.lookup_radius)
+        if cost_maps.ndim == 3:      # pre-transposed for the Pallas kernel
+            cost_forward = encode_flow_token_t(
+                cost_maps, coords1, c.lookup_radius,
+                _lookup_impl() == "pallas_interpret")
+        else:
+            cost_forward = encode_flow_token(cost_maps, coords1,
+                                             r=c.lookup_radius)
 
         q = nn.Conv(c.query_latent_dim, (1, 1), name="flow_token_enc1")(cost_forward)
         q = nn.gelu(q, approximate=False)
@@ -736,6 +785,13 @@ class MemoryDecoder(nn.Module):
         Dq = c.query_latent_dim
         key = nn.Dense(Dq, name="memory_k")(cost_memory)
         value = nn.Dense(Dq, name="memory_v")(cost_memory)
+
+        impl = _lookup_impl()
+        if (impl.startswith("pallas") and cost_maps.shape[-1] == 1
+                and (jax.default_backend() == "tpu"
+                     or impl == "pallas_interpret")):
+            from ..ops.pallas.cost_lookup import transpose_cost_maps
+            cost_maps = transpose_cost_maps(cost_maps)  # once, not 12x
 
         scan = nn.scan(DecoderIteration,
                        variable_broadcast="params",

@@ -93,6 +93,18 @@ def load_sd_checkpoint(path: str, cfg: Optional[UNetConfig] = None,
 
     blobs = torch.load(path, map_location="cpu", weights_only=False)
     configs = blobs.get("configs", {})
+    if blobs.get("format") == "stitchax_jax":
+        # natively-trained stitchax params (train/sd_inpaint_trainer.py
+        # save_jax_sd_checkpoint): no diffusers conversion; the empty-prompt
+        # CLIP context is a constant and ships precomputed
+        if cfg is None:
+            cfg = UNetConfig(**configs.get("unet", {}))
+        vae = AutoencoderKL(**configs.get("vae", {}))
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        return make_sd_inpaint_fn(
+            as_jnp(blobs["unet_vars"]), as_jnp(blobs["controlnet_vars"]),
+            as_jnp(blobs["vae_vars"]), jnp.asarray(blobs["context"]),
+            cfg=cfg, vae=vae, num_steps=num_steps, seed=seed)
     if cfg is None:
         cfg = UNetConfig(**configs.get("unet", {}))
     vae = AutoencoderKL(**configs.get("vae", {}))

@@ -9,6 +9,6 @@ no NCCL analog needed.
 
 from .mesh import (make_mesh, batch_sharding, replicated_sharding,
                    shard_batch, make_parallel_train_step,
-                   make_parallel_eval_step)
+                   make_parallel_eval_step, make_parallel_stitch_step)
 
 __all__ = [k for k in dir() if not k.startswith("_")]

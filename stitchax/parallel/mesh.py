@@ -61,3 +61,19 @@ def make_parallel_eval_step(eval_step: Callable, mesh: Mesh,
     data = batch_sharding(mesh, axis)
     return jax.jit(eval_step, in_shardings=(repl, data, data),
                    out_shardings=data)
+
+
+def make_parallel_stitch_step(step_fn: Callable, mesh: Mesh,
+                              axis: str = "data") -> Callable:
+    """Batch-parallel inference-path stitch step over the mesh — the
+    deployment analog of the reference's nn.DataParallel scatter
+    (reference: out.py:80; SURVEY.md §2.10).
+
+    `step_fn(img1, img2) -> dict of per-pair leaves` must be per-pair
+    independent on its leading axis (stitch_model_step is: canvas boxes
+    reduce over mesh vertices only). Params ride as closed-over
+    constants and stay replicated; the pair axis is sharded on `axis`,
+    so N chips stitch N pairs per call with no collectives on the
+    forward path."""
+    data = batch_sharding(mesh, axis)
+    return jax.jit(step_fn, in_shardings=(data, data), out_shardings=data)

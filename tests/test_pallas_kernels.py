@@ -181,3 +181,104 @@ class TestGSAAttention:
                                    interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5)
+
+
+class TestCostLookup:
+    """Pallas barrel-select cost lookup vs the XLA selector-matmul form
+    (flowformer.encode_flow_token) — bit-compatible by construction."""
+
+    def _mk(self, rng, B, H1, W1, H2, W2, dtype, lo, hi):
+        cm = jnp.asarray(
+            rng.standard_normal((B, H1, W1, H2, W2, 1)), dtype)
+        coords = jnp.asarray(
+            rng.uniform(lo, hi, (B, H1, W1, 2)), jnp.float32)
+        return cm, coords
+
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+    @pytest.mark.parametrize("lo,hi", [(5.0, 58.0),     # interior
+                                       (-80.0, 140.0)])  # incl. full OOB
+    def test_matches_selector(self, rng, dtype, lo, hi):
+        from stitchax.models.flowformer import encode_flow_token
+        from stitchax.ops.pallas.cost_lookup import encode_flow_token_pallas
+        cm, coords = self._mk(rng, 2, 8, 8, 64, 64, dtype, lo, hi)
+        ref = np.asarray(encode_flow_token(cm, coords), np.float32)
+        got = np.asarray(encode_flow_token_pallas(cm, coords,
+                                                  interpret=True),
+                         np.float32)
+        if dtype == jnp.bfloat16:
+            # bf16 products are exact in fp32: bit-equal by construction
+            np.testing.assert_array_equal(ref, got)
+        else:
+            # fp32 weights: the two-term lerp rounds once per fma vs the
+            # einsum's accumulate — 1 ULP
+            np.testing.assert_allclose(ref, got, rtol=3e-7, atol=1e-6)
+
+    def test_non_square_map_and_ragged_p(self, rng):
+        # H2 != W2 and P not a multiple of the 128-pixel block
+        from stitchax.models.flowformer import encode_flow_token
+        from stitchax.ops.pallas.cost_lookup import encode_flow_token_pallas
+        cm, coords = self._mk(rng, 1, 6, 7, 40, 56, jnp.bfloat16,
+                              -10.0, 70.0)
+        ref = encode_flow_token(cm, coords)
+        got = encode_flow_token_pallas(cm, coords, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                      np.asarray(got, np.float32))
+
+    def test_integer_coords_and_edges(self, rng):
+        # exact-integer coords exercise the f==0 weight path; bases
+        # pinned at the clamp boundaries exercise every select branch
+        from stitchax.models.flowformer import encode_flow_token
+        from stitchax.ops.pallas.cost_lookup import encode_flow_token_pallas
+        cm = jnp.asarray(rng.standard_normal((1, 4, 8, 64, 64, 1)),
+                         jnp.bfloat16)
+        vals = np.array([-13.0, -12.0, -9.0, -4.0, 0.0, 4.0, 31.0, 59.0,
+                         63.0, 66.0, 67.0, 76.0, 77.0, 100.0])
+        coords = jnp.asarray(
+            np.stack(np.meshgrid(vals[:8], vals[6:10]), -1)
+            .reshape(1, 4, 8, 2), jnp.float32)
+        ref = encode_flow_token(cm, coords)
+        got = encode_flow_token_pallas(cm, coords, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                      np.asarray(got, np.float32))
+
+    def test_custom_vjp_matches_oracle_grads(self, rng):
+        from stitchax.models.flowformer import (encode_flow_token,
+                                                encode_flow_token_t)
+        from stitchax.ops.pallas.cost_lookup import transpose_cost_maps
+        cm, coords = self._mk(rng, 1, 4, 4, 16, 16, jnp.float32, -2.0, 18.0)
+        cm_t = transpose_cost_maps(cm)
+
+        def loss_pallas(c_):
+            return encode_flow_token_t(c_, coords, 4, True).sum()
+
+        def loss_ref(c6_):
+            return encode_flow_token(c6_, coords).sum()
+
+        g_t = jax.grad(loss_pallas)(cm_t)
+        g6 = jax.grad(loss_ref)(cm)
+        g6_t = transpose_cost_maps(g6)
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g6_t),
+                                   rtol=0, atol=0)
+
+    def test_decoder_dispatch_parity(self, rng, monkeypatch):
+        # the full MemoryDecoder under STITCHAX_COST_LOOKUP=pallas_interpret
+        # must match the selector build exactly
+        from stitchax.models.flowformer import FlowFormerConfig, MemoryDecoder
+        cfg = FlowFormerConfig(decoder_depth=2)
+        B, H1, W1 = 1, 8, 8
+        dec = MemoryDecoder(cfg)
+        mem = jnp.asarray(rng.standard_normal(
+            (B * H1 * W1, cfg.cost_latent_token_num, cfg.cost_latent_dim)),
+            jnp.float32)
+        ctx = jnp.asarray(rng.standard_normal((B, H1, W1, 256)), jnp.float32)
+        cm = jnp.asarray(rng.standard_normal((B, H1, W1, H1, W1, 1)),
+                         jnp.float32)
+        params = dec.init(jax.random.PRNGKey(0), mem, ctx, cm, (H1, W1))
+        ref = dec.apply(params, mem, ctx, cm, (H1, W1))
+        monkeypatch.setenv("STITCHAX_COST_LOOKUP", "pallas_interpret")
+        got = dec.apply(params, mem, ctx, cm, (H1, W1))
+        for a, b in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=0, atol=1e-5)

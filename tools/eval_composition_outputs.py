@@ -116,7 +116,7 @@ def score_sweep(root):
             if s is not None:
                 rows[d] = s
     if not rows:
-        raise SystemExit(f"no scorable result dirs under {root}")
+        return None
     agg = {k: float(np.mean([r[k] for r in rows.values()]))
            for k in ("ghost", "ghost_ave_fusion", "seam_cost")}
     agg["n_pairs"] = len(rows)
@@ -133,7 +133,12 @@ def main():
     report = {}
     for entry in args.runs:
         name, root = entry.split("=", 1)
-        report[name] = score_sweep(root)
+        scored = score_sweep(root)
+        if scored is None:
+            print(f"[{name}] WARNING: no scorable result dirs under {root}"
+                  " — skipped")
+            continue
+        report[name] = scored
         a = report[name]["aggregate"]
         print(f"[{name}] n={a['n_pairs']}  ghost {a['ghost']:.4f}  "
               f"ave-fusion ghost {a['ghost_ave_fusion']:.4f}  "

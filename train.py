@@ -103,7 +103,8 @@ def main():
         print(f"warm-started params from {args.init_npz}")
 
     optim_cfg = OptimConfig(
-        canonical_lr=args.lr or trainer.canonical_lr, num_steps=num_steps,
+        canonical_lr=(args.lr if args.lr is not None
+                      else trainer.canonical_lr), num_steps=num_steps,
         adamw_decay=trainer.adamw_decay, epsilon=trainer.epsilon,
         clip=trainer.clip, anneal_strategy=trainer.anneal_strategy,
         batch_scale=cfg.batch_size)
