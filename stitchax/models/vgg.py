@@ -98,6 +98,29 @@ def transref_total_loss(vgg_apply, pred, target, mask,
     return dict(total=total, l1=l1, perceptual=perc, style=style)
 
 
+def feature_total_loss(feats_apply, pred, target, mask,
+                       l1_weight: float = 1.0, perc_weight: float = 0.04,
+                       style_weight: float = 250.0):
+    """transref_total_loss with a GENERIC multi-scale feature extractor
+    (`feats_apply(x) -> list of NHWC maps`) in place of the VGG stack.
+
+    The reference trains with pretrained-VGG perceptual+style terms
+    (reference: TransRef/models/loss.py:6-192); no torchvision weights
+    exist in this env, so the round-4 weights were trained against a
+    random-init VGG. This variant swaps in a TRAINED in-env feature
+    network (the flagship twins encoder) as the training-grade perceptual
+    signal (VERDICT r4 #4). The reference-pinned VGG objective above stays
+    for the parity tests; this is a documented training-time deviation."""
+    l1 = jnp.abs(pred - target).mean()
+    fx = feats_apply(pred)
+    fy = feats_apply(target)
+    perc = sum(jnp.abs(a - b).mean() for a, b in zip(fx, fy))
+    style = sum(jnp.abs(gram_matrix(a) - gram_matrix(b)).mean()
+                for a, b in zip(fx, fy))
+    total = l1_weight * l1 + perc_weight * perc + style_weight * style
+    return dict(total=total, l1=l1, perceptual=perc, style=style)
+
+
 def convert_vgg16_features(sd) -> Dict:
     """torchvision vgg16 `features.*` state dict -> VGG16Features params.
     Conv indices in the torch Sequential: 0,2,5,7,10,12,14,17,19,21,24

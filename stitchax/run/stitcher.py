@@ -322,6 +322,11 @@ class Stitcher:
         # exact-device-value capture).
         self.host_reconstruct = bool(host_reconstruct) and (
             os.environ.get("STITCHAX_FETCH_ALL", "0") != "1")
+        # image channels ride the pack as YUV 4:2:0 by default (1.5 ch/img
+        # instead of 3 — the loss the JPEG save applies anyway, moved ahead
+        # of the link; run/pack.py). STITCHAX_PACK=rgb restores exact.
+        from .pack import pack_mode
+        self.pack_mode = pack_mode()
         self.compile_events: List[Tuple] = []   # compile telemetry
 
         # homo_fn/flow_fn overrides support stub backbones in tests and
@@ -441,18 +446,18 @@ class Stitcher:
         single uint8 buffer: the remote-TPU relay moves ~13 MB/s with ~33 ms
         RTT (tools/exp_fetch.py), so fetching seven fp32 canvases one by one
         costs ~1.7 s/pair — 4x the actual device compute. uint8 is
-        parity-exact for this pipeline: the reference materializes these
-        same outputs as 8-bit JPEGs (out.py:290-308)."""
-        key = ("pack", out_h, out_w, n_img, n_mask)
+        parity-exact for this pipeline (the reference materializes these
+        same outputs as 8-bit JPEGs, out.py:290-308), and the default
+        yuv420 mode additionally 2x2-subsamples image chroma — the loss
+        the JPEG encoder applies anyway, moved ahead of the link
+        (run/pack.py; STITCHAX_PACK=rgb restores the exact pack)."""
+        from .pack import pack_canvas_uint8
+        key = ("pack", out_h, out_w, n_img, n_mask, self.pack_mode)
         if key not in self._step_cache:
             self._log_compile(key)
-
-            def fn(imgs, masks):
-                parts = [jnp.clip(i, 0, 255) for i in imgs]
-                parts += [jnp.clip(m, 0, 1) * 255.0 for m in masks]
-                return jnp.rint(jnp.concatenate(parts, -1)).astype(jnp.uint8)
-
-            self._step_cache[key] = jax.jit(fn)
+            mode = self.pack_mode
+            self._step_cache[key] = jax.jit(
+                lambda imgs, masks: pack_canvas_uint8(imgs, masks, mode))
         return self._step_cache[key]
 
     # ------------------------------ pipeline -------------------------------
@@ -686,17 +691,35 @@ class Stitcher:
         pack = self._pack_step(out_h, out_w, len(img_keys), len(mask_keys))
         packed = pack([result[k] for k in img_keys],
                       [result[k] for k in mask_keys])
+        # composition run at UPSIZED resolution (<512 canvas, out.py:280-284
+        # rule) used to fall into the raw-float32 `other` fetch — larger
+        # than the whole packed buffer on the ~13 MB/s relay (advisor r4
+        # #2). It now rides a second uint8 pack at its own resolution.
+        packed2 = None
+        pack2_imgs, pack2_masks = [], []
+        if "composition" in result and not comp_recon \
+                and result["composition"].shape[:2] != (out_h, out_w):
+            pack2_imgs = ["composition"]
+            pack2_masks = ["learned_mask1", "learned_mask2"]
+            uh, uw = result["composition"].shape[:2]
+            pack2 = self._pack_step(uh, uw, 1, 2)
+            packed2 = pack2([result["composition"]],
+                            [result[k] for k in pack2_masks])
         other = [k for k, v in result.items()
                  if isinstance(v, jnp.ndarray) and v.ndim == 3
                  and k not in img_keys and k not in mask_keys
-                 and k not in skip]
-        for leaf in [packed] + [result[k] for k in other]:
+                 and k not in skip and k not in pack2_imgs
+                 and k not in pack2_masks]
+        for leaf in [packed] + [result[k] for k in other] + (
+                [packed2] if packed2 is not None else []):
             try:
                 leaf.copy_to_host_async()
             except AttributeError:
                 pass
         return dict(result=result, packed=packed, img_keys=img_keys,
                     mask_keys=mask_keys, other=other, comp_recon=comp_recon,
+                    packed2=packed2, pack2_imgs=pack2_imgs,
+                    pack2_masks=pack2_masks, pack_mode=self.pack_mode,
                     dims=(out_h, out_w, true_h, true_w),
                     recon=((np.asarray(host_img1, np.float32),
                             width_min, height_min,
@@ -708,17 +731,24 @@ class Stitcher:
     def _stitch_finalize(self, state: Dict) -> Dict[str, np.ndarray]:
         """Materialize a _stitch_device state on the host: one packed-uint8
         fetch split per key, cropped to the true canvas extent."""
+        from .pack import unpack_canvas_uint8
         result = state["result"]
         img_keys, mask_keys = state["img_keys"], state["mask_keys"]
         out_h, out_w, true_h, true_w = state["dims"]
+        mode = state.get("pack_mode", "rgb")
         np_result = dict(result)
-        packed = np.asarray(state["packed"])
-        packed = packed[:true_h, :true_w].astype(np.float32)
-        for i, k in enumerate(img_keys):
-            np_result[k] = packed[..., 3 * i:3 * i + 3]
-        off = 3 * len(img_keys)
-        for j, k in enumerate(mask_keys):
-            np_result[k] = packed[..., off + j:off + j + 1] / 255.0
+        imgs, masks = unpack_canvas_uint8(
+            np.asarray(state["packed"]), len(img_keys), len(mask_keys),
+            mode, true_h, true_w)
+        np_result.update(zip(img_keys, imgs))
+        np_result.update(zip(mask_keys, masks))
+        if state.get("packed2") is not None:
+            p2 = np.asarray(state["packed2"])
+            imgs2, masks2 = unpack_canvas_uint8(
+                p2, len(state["pack2_imgs"]), len(state["pack2_masks"]),
+                mode, p2.shape[0], p2.shape[1])
+            np_result.update(zip(state["pack2_imgs"], imgs2))
+            np_result.update(zip(state["pack2_masks"], masks2))
         other = state["other"]
         for k, arr in zip(other, jax.device_get([result[k] for k in other])
                           if other else []):

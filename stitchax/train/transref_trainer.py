@@ -61,17 +61,22 @@ def prepare_inputs(gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def make_transref_train_step(model: TransRefBase, vgg_apply: Callable,
                              tx: optax.GradientTransformation,
-                             cfg: TransRefLossConfig = TransRefLossConfig()):
+                             cfg: TransRefLossConfig = TransRefLossConfig(),
+                             total_loss: Callable = transref_total_loss):
     """Returns train_step(params, opt_state, gt, ref, mask) ->
-    (params, opt_state, metrics). gt/ref in [-1, 1] NHWC; mask (B,S,S,1)."""
+    (params, opt_state, metrics). gt/ref in [-1, 1] NHWC; mask (B,S,S,1).
+
+    `total_loss(feats_apply, pred, target, mask, ...)` defaults to the
+    reference-pinned VGG objective; pass models.vgg.feature_total_loss
+    (with a twins feats_apply) for the trained-feature variant."""
 
     def loss_fn(params, gt, ref, mask):
         detail = prepare_inputs(gt, mask)
         out = model.apply(params, detail, mask, ref)
-        losses = transref_total_loss(vgg_apply, out, gt, mask,
-                                     l1_weight=cfg.lambda_l1,
-                                     perc_weight=cfg.lambda_perceptual,
-                                     style_weight=cfg.lambda_style)
+        losses = total_loss(vgg_apply, out, gt, mask,
+                            l1_weight=cfg.lambda_l1,
+                            perc_weight=cfg.lambda_perceptual,
+                            style_weight=cfg.lambda_style)
         return losses["total"], losses
 
     def train_step(params, opt_state, gt, ref, mask):

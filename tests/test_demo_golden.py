@@ -70,6 +70,10 @@ def _stitch_demo():
                   TPSConfig(grid_h=8, grid_w=8),
                   inpainter_name="cv_inpainter",
                   mix_method="all_img1_with_inpaint")
+    # goldens pin STITCH semantics; the pack codec has its own bound
+    # tests (test_pack_yuv.py) — use the exact rgb pack here so the
+    # yuv420 default's chroma subsampling can't blur a real regression
+    st.pack_mode = "rgb"
     return st.stitch(img1, img2)
 
 
@@ -85,6 +89,7 @@ def _stitch_demo_stub():
                   inpainter_name="cv_inpainter",
                   mix_method="all_img1_with_inpaint",
                   homo_fn=stub_homo_fn, flow_fn=stub_flow_fn)
+    st.pack_mode = "rgb"        # see _stitch_demo
     return st.stitch(img1, img2)
 
 

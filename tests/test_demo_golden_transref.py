@@ -99,6 +99,7 @@ def _stitch_demo():
     # is the reference's fixed 512; jit-cache keys carry inpainter_name, so
     # the override must happen before the first stitch)
     st.inpainter = _build_transref_inpainter()
+    st.pack_mode = "rgb"   # goldens pin stitch semantics, not the pack
     return st.stitch(img1, img2)
 
 

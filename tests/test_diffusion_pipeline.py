@@ -380,3 +380,65 @@ class TestEndToEnd:
         assert not hasattr(ip, "_fallback")
         out = ip.inpaint(jnp.zeros((32, 32, 3)), jnp.zeros((32, 32, 1)))
         assert calls and float(out[0, 0, 0]) == 7.0
+
+
+class TestNativeJaxContainer:
+    """save_jax_sd_checkpoint (train/sd_inpaint_trainer.py) round-trips
+    through load_sd_checkpoint without diffusers converters — the
+    container format the in-env-trained diffusion inpainter ships in."""
+
+    def test_roundtrip_and_overlay(self, rng, tmp_path):
+        import optax
+
+        from stitchax.models.diffusion import (ControlNet, UNetConfig,
+                                               UNet2DCondition)
+        from stitchax.models.sd_pipeline import load_sd_checkpoint
+        from stitchax.models.vae import AutoencoderKL
+        from stitchax.train.sd_inpaint_trainer import (
+            make_diffusion_train_step, save_jax_sd_checkpoint)
+
+        w, S = 8, 32
+        unet_kw = dict(in_channels=9, out_channels=4,
+                       block_channels=(w, 2 * w), layers_per_block=1,
+                       attention_resolutions=(0, 1), context_dim=2 * w,
+                       num_heads=2, num_train_timesteps=1000, norm_groups=4)
+        vae_kw = dict(block_channels=(w, w, w, w), latent_channels=4,
+                      groups=4)
+        cfg = UNetConfig(**unet_kw)
+        unet, cnet, vae = (UNet2DCondition(cfg), ControlNet(cfg),
+                           AutoencoderKL(**vae_kw))
+        k = jax.random.PRNGKey(0)
+        ctx = jax.random.normal(k, (1, 77, unet_kw["context_dim"]))
+        img0 = jnp.zeros((1, S, S, 3), jnp.float32)
+        lat0 = jnp.zeros((1, S // 8, S // 8, 4), jnp.float32)
+        t0 = jnp.zeros((1,), jnp.float32)
+        vp = vae.init(k, img0)
+        cp = cnet.init(k, lat0, t0, ctx, img0)
+        res0, mid0 = cnet.apply(cp, lat0, t0, ctx, img0)
+        up = unet.init(k, jnp.zeros((1, S // 8, S // 8, 9)), t0, ctx,
+                       res0, mid0)
+
+        # one train step runs and yields finite loss
+        tx = optax.adam(1e-4)
+        params = {"unet": up, "controlnet": cp}
+        step = make_diffusion_train_step(unet, cnet, vae, tx, ctx)
+        img01 = jnp.asarray(rng.uniform(0, 1, (2, S, S, 3)), jnp.float32)
+        hole = jnp.zeros((2, S, S, 1)).at[:, 8:20, 8:20].set(1.0)
+        params, _, m = step(params, tx.init(params), vp, img01, hole,
+                            jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["mse"]))
+
+        path = tmp_path / "sd_jax.pt"
+        save_jax_sd_checkpoint(str(path), params["unet"],
+                               params["controlnet"], vp, ctx, unet_kw,
+                               vae_kw)
+        fn = load_sd_checkpoint(str(path), num_steps=2)
+        img = jnp.asarray(rng.uniform(0, 255, (S, S, 3)), jnp.float32)
+        mask = jnp.zeros((S, S, 1)).at[8:20, 8:20].set(1.0)
+        out = jax.jit(fn)(img, mask)
+        assert out.shape == (S, S, 3)
+        assert bool(jnp.isfinite(out).all())
+        # overlay: untouched outside the hole, rewritten inside
+        np.testing.assert_allclose(np.asarray(out)[:8, :8],
+                                   np.asarray(img)[:8, :8])
+        assert float(jnp.abs(out[8:20, 8:20] - img[8:20, 8:20]).mean()) > 1.0

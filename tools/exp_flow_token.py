@@ -61,6 +61,28 @@ def main():
     err = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
     print(f"max abs err: {err:.3e}")
 
+    # round-5 candidate: VPU barrel-select Pallas kernel on pre-transposed
+    # (H2, P, W2) maps — the transpose is hoisted once per forward in the
+    # decoder (12 iterations amortize it), so time both pieces separately
+    from stitchax.ops.pallas.cost_lookup import (cost_lookup_transposed,
+                                                 transpose_cost_maps)
+    tr = jax.jit(transpose_cost_maps)
+    cm_t = timed("transpose (ONCE per fwd, not per iter)", tr, cost_maps)
+    cen = coords.reshape(-1, 2)
+    for bp in (128, 256, 512):
+        pk = jax.jit(lambda c, x, bp=bp: cost_lookup_transposed(
+            c, x, r=4, block_p=bp))
+        try:
+            c = timed(f"pallas barrel-select (block_p={bp})", pk, cm_t, cen)
+        except Exception as e:  # noqa: BLE001
+            print(f"pallas block_p={bp} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}")
+            continue
+        c = c.transpose(0, 2, 1).reshape(a.shape)
+        err = float(jnp.abs(a.astype(jnp.float32)
+                            - c.astype(jnp.float32)).max())
+        print(f"  max abs err vs selector: {err:.3e}")
+
 
 if __name__ == "__main__":
     main()

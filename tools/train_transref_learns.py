@@ -56,6 +56,21 @@ def get_args():
                         "or bf16 snapshot) instead of random init; the "
                         "improves-over-init check then measures the "
                         "continuation's gain over the loaded weights")
+    p.add_argument("--perceptual", choices=("vgg", "twins"), default="vgg",
+                   help="'vgg' = reference objective with the (random-init "
+                        "in this env) VGG16; 'twins' = perceptual/style "
+                        "terms over the TRAINED flagship twins encoder "
+                        "(models.vgg.feature_total_loss, VERDICT r4 #4)")
+    p.add_argument("--flagship_npz", type=str,
+                   default="results/ckpt_r04_bf16.npz",
+                   help="flagship checkpoint supplying the trained twins "
+                        "feature encoder for --perceptual twins")
+    p.add_argument("--lambda_perc", type=float, default=None,
+                   help="override the perceptual weight (default: the "
+                        "reference's 0.04)")
+    p.add_argument("--lambda_style", type=float, default=None,
+                   help="override the style weight (default: the "
+                        "reference's 250)")
     return p.parse_args()
 
 
@@ -167,17 +182,42 @@ def main():
         params = jax.tree_util.tree_map(
             lambda t, r: jnp.asarray(r, t.dtype), params, restored)
         print(f"resumed from {args.init_ckpt}", flush=True)
-    vgg = VGG16Features()
-    vgg_params = jax.jit(vgg.init)(k_init, img0)
-    print("NOTE: random-init VGG16 (no torchvision ckpt in this env) — "
-          "perceptual/style terms are untrained-feature losses; the "
-          "objective weights are still the reference's 1/0.04/250")
-    vgg_apply = lambda x: vgg.apply(vgg_params, x)
+    from stitchax.models.vgg import feature_total_loss, transref_total_loss
+    if args.perceptual == "twins":
+        # trained flagship twins encoder as the perceptual/style network
+        # (VERDICT r4 #4): both its scales (1/8 256ch, 1/4 128ch)
+        from stitchax import convert
+        from stitchax.models.twins import TwinsSVT
+        twins = TwinsSVT()
+        tw_tmpl = jax.jit(twins.init)(k_init, img0)
+        target = {"flow": {"params": {"memory_encoder": {
+            "feat_encoder": tw_tmpl["params"]}}}}
+        loaded = convert.load_params_npz(args.flagship_npz, target)
+        tw_params = {"params":
+                     loaded["flow"]["params"]["memory_encoder"]
+                     ["feat_encoder"]}
+        print(f"perceptual net: TRAINED twins encoder from "
+              f"{args.flagship_npz}", flush=True)
+        feats_apply = lambda x: list(twins.apply(tw_params, x))
+        vgg_apply, total_loss = feats_apply, feature_total_loss
+    else:
+        vgg = VGG16Features()
+        vgg_params = jax.jit(vgg.init)(k_init, img0)
+        print("NOTE: random-init VGG16 (no torchvision ckpt in this env) — "
+              "perceptual/style terms are untrained-feature losses; the "
+              "objective weights are still the reference's 1/0.04/250")
+        vgg_apply, total_loss = (lambda x: vgg.apply(vgg_params, x),
+                                 transref_total_loss)
 
+    loss_cfg = TransRefLossConfig(
+        lambda_perceptual=(args.lambda_perc if args.lambda_perc is not None
+                           else TransRefLossConfig.lambda_perceptual),
+        lambda_style=(args.lambda_style if args.lambda_style is not None
+                      else TransRefLossConfig.lambda_style))
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
-    train_step = make_transref_train_step(model, vgg_apply, tx,
-                                          TransRefLossConfig())
+    train_step = make_transref_train_step(model, vgg_apply, tx, loss_cfg,
+                                          total_loss=total_loss)
     mesh = make_mesh()
     repl, data = replicated_sharding(mesh), batch_sharding(mesh)
     pstep = jax.jit(train_step,
@@ -216,8 +256,14 @@ def main():
             if step % args.eval_every == 0 or step == args.steps:
                 _, out = eval_out(params)
                 p = hole_psnr(np.asarray(out), egt, emask)
-                history.append(dict(step=step, loss=losses[-1], hole_psnr=p))
-                print(f"[step {step}] loss {losses[-1]:.4f}  "
+                comps = {k: float(metrics[k])
+                         for k in ("l1", "perceptual", "style")
+                         if k in metrics}
+                history.append(dict(step=step, loss=losses[-1],
+                                    hole_psnr=p, **comps))
+                comp_str = "  ".join(f"{k}={v:.4f}"
+                                     for k, v in comps.items())
+                print(f"[step {step}] loss {losses[-1]:.4f}  {comp_str}  "
                       f"hole PSNR {p:.2f}", flush=True)
                 if args.save_ckpt:
                     # overwrite at every eval point: a long TPU run killed
@@ -256,9 +302,13 @@ def main():
         print(f"saved {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
 
     result = dict(steps=args.steps, size=args.size, batch=args.batch,
-                  lr=args.lr, loss_first20=first, loss_last20=last,
+                  lr=args.lr, perceptual=args.perceptual,
+                  lambda_perc=loss_cfg.lambda_perceptual,
+                  lambda_style=loss_cfg.lambda_style,
+                  loss_first20=first, loss_last20=last,
                   psnr_meanfill=psnr_meanfill, psnr_init=psnr_init,
-                  psnr_final=p_end, history=history, checks=checks)
+                  psnr_final=p_end, history=history, checks=checks,
+                  cli=" ".join(sys.argv))
     with open(os.path.join(args.out, "result.json"), "w") as f:
         json.dump(result, f, indent=2)
     for name, ok in checks.items():
