@@ -395,6 +395,18 @@ def make_default_transref_apply(size: int = 512, seed: int = 0,
     # jitted init: eager init is pathological through the remote-TPU tunnel
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), d, m, d)
     ckpt = ckpt or os.environ.get("STITCHAX_TRANSREF_CKPT") or None
+    if not ckpt:
+        # fall back to the committed trained snapshot, mirroring the
+        # reference's fixed-path 400_Trans.pth load
+        # (transref_inpainter.py:19-28); STITCHAX_TRANSREF_CKPT=none
+        # forces random init explicitly
+        default = os.path.join(os.path.dirname(__file__), "..", "..",
+                               "results",
+                               "transref_ckpt_r05_bf16.msgpack")
+        if os.path.isfile(default):
+            ckpt = default
+    if ckpt and ckpt.lower() == "none":
+        ckpt = None
     if ckpt:
         from flax import serialization
         with open(ckpt, "rb") as f:

@@ -73,11 +73,12 @@ def _build_transref_inpainter(ckpt=None):
     from stitchax.compose.inpainters import TransRefInpainter
     from stitchax.models.transref import make_default_transref_apply
 
-    # explicit ckpt=False-equivalent: never let a stray env var leak into
-    # the golden (the env contract is pinned separately below)
+    # never let a stray env var (or the committed-snapshot default
+    # fallback) leak into the golden: ckpt="none" forces random init;
+    # the env contract is pinned separately below
     os.environ.pop("STITCHAX_TRANSREF_CKPT", None)
     apply_fn = make_default_transref_apply(
-        size=TEST_INPAINT_SIZE, seed=0, bf16=False, ckpt=ckpt)
+        size=TEST_INPAINT_SIZE, seed=0, bf16=False, ckpt=ckpt or "none")
     return TransRefInpainter(apply_fn=apply_fn, size=TEST_INPAINT_SIZE)
 
 
