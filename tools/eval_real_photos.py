@@ -103,7 +103,7 @@ def composition_scores(ckpt, demo_root, tag):
         root = f"/tmp/real_photo_comp_{tag}_{arm}"
         cmd = [sys.executable, "out.py", "--data_root_path",
                demo_root + "/", "--txt_file", "demo.txt", "--inf_cfg",
-               "fast_cv_g8_comp", "--result_path", root] + extra
+               "fast_cv_g8_comp", "--result_dir", root] + extra
         print("running:", " ".join(cmd), flush=True)
         r = subprocess.run(cmd, capture_output=True, text=True,
                            cwd=os.path.join(os.path.dirname(__file__),
@@ -112,7 +112,11 @@ def composition_scores(ckpt, demo_root, tag):
             print(r.stdout[-1500:], r.stderr[-1500:])
             scores[arm] = {"error": f"out.py rc={r.returncode}"}
             continue
-        s = score_sweep(root)
+        # out.py nests the sweep under {result_dir}/{cfg}_g{..}_{tps}/
+        import glob as _glob
+        sweeps = [d for d in _glob.glob(os.path.join(root, "*"))
+                  if os.path.isdir(d)]
+        s = score_sweep(sweeps[0]) if sweeps else None
         scores[arm] = (s["aggregate"] if s else
                        {"error": "no scorable dirs"})
     return scores
