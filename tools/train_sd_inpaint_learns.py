@@ -54,6 +54,11 @@ def get_args():
     p.add_argument("--eval_ddim_steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_ckpt", action="store_true")
+    p.add_argument("--init_ckpt", type=str, default=None,
+                   help="resume unet/controlnet/vae/context from a saved "
+                        "stitchax_jax container (save_jax_sd_checkpoint); "
+                        "configs must match --width; --steps_vae 0 skips "
+                        "re-training the restored VAE")
     return p.parse_args()
 
 
@@ -141,6 +146,19 @@ def main():
     n_par = sum(x.size for x in jax.tree_util.tree_leaves(
         (vae_params, unet_params, cnet_params)))
     print(f"params: {n_par / 1e6:.2f} M (vae+unet+controlnet)", flush=True)
+
+    if args.init_ckpt:
+        import torch
+        blob = torch.load(args.init_ckpt, map_location="cpu",
+                          weights_only=False)
+        assert blob.get("format") == "stitchax_jax", args.init_ckpt
+        cast = lambda tmpl, src: jax.tree_util.tree_map(
+            lambda t, s: jnp.asarray(s, t.dtype), tmpl, src)
+        unet_params = cast(unet_params, blob["unet_vars"])
+        cnet_params = cast(cnet_params, blob["controlnet_vars"])
+        vae_params = cast(vae_params, blob["vae_vars"])
+        context = jnp.asarray(blob["context"])
+        print(f"resumed from {args.init_ckpt}", flush=True)
 
     # ---------------- phase 1: VAE autoencoder ----------------
     tx_v = optax.adam(args.lr_vae)
