@@ -1,6 +1,6 @@
 """Contract test for the committed flagship checkpoint snapshot.
 
-results/ckpt_r04_bf16.npz is the trained-in-repo weight bundle every CLI
+results/ckpt_r0{4,5}_bf16.npz are the trained-in-repo weight bundles a CLI
 loads via --ckpt_path (StitchModels.restore_npz). It must carry the flow,
 homo, AND comp subtrees (the round-4 CompositionNet training merged comp
 in), and every leaf must match the leaf paths + shapes of the models
@@ -22,15 +22,16 @@ from stitchax import convert
 from stitchax.models import (CompositionNet, FlowFormer, FlowFormerConfig,
                              UDIS2HomographyNet)
 
-NPZ = os.path.join(os.path.dirname(__file__), "..", "results",
-                   "ckpt_r04_bf16.npz")
+NPZS = [os.path.join(os.path.dirname(__file__), "..", "results", f)
+        for f in ("ckpt_r04_bf16.npz", "ckpt_r05_bf16.npz")]
+NPZS = [p for p in NPZS if os.path.exists(p)]
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(NPZ), reason="flagship npz not present")
+pytestmark = pytest.mark.skipif(not NPZS,
+                                reason="flagship npz not present")
 
 
-def _stored_shapes():
-    data = np.load(NPZ)
+def _stored_shapes(npz):
+    data = np.load(npz)
     out = {}
     for k in data.files:
         key = k[len("bf16:"):] if k.startswith("bf16:") else k
@@ -52,13 +53,15 @@ def _template_shapes():
     return {jax.tree_util.keystr(kp): leaf.shape for kp, leaf in paths}
 
 
-def test_flagship_npz_carries_all_three_subtrees():
+@pytest.mark.parametrize("npz", NPZS, ids=os.path.basename)
+def test_flagship_npz_carries_all_three_subtrees(npz):
     for name in ("flow", "homo", "comp"):
-        assert convert.npz_has_subtree(NPZ, name), name
+        assert convert.npz_has_subtree(npz, name), name
 
 
-def test_flagship_npz_leaves_match_model_trees():
-    stored = _stored_shapes()
+@pytest.mark.parametrize("npz", NPZS, ids=os.path.basename)
+def test_flagship_npz_leaves_match_model_trees(npz):
+    stored = _stored_shapes(npz)
     template = _template_shapes()
     missing = [k for k in template if k not in stored]
     extra = [k for k in stored if k not in template]
