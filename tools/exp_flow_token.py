@@ -14,6 +14,18 @@ volume read. Selector stays the production path; the row-take
 formulation is kept in flowformer.py as a parity-tested documented
 loser (not dispatched by the decoder).
 
+MEASURED (v5e, 2026-08-19, round 5): pallas barrel-select
+(ops/pallas/cost_lookup.py) at block_p=128: **4.30 ms, bit-exact vs
+selector (max err 0.0)** — LOSES to the 3.29 ms selector matmul; the
+per-sublane barrel selects cost more VPU time than the padded-matmul
+MXU waste they remove. block_p in {256, 512} cannot be measured in-env:
+the remote compile helper dies (HTTP 500, subprocess exit 1 — the same
+VMEM-ceiling failure BASELINE.md records for large-grid Pallas
+compiles). Selector stays; the kernel is kept parity-tested
+(tests/test_pallas_kernels.py, interpret mode) as the third documented
+loser, and the STITCHAX_COST_LOOKUP env knob can dispatch it for
+future-hardware re-measurement.
+
 Usage: python tools/exp_flow_token.py
 """
 
