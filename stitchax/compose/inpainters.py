@@ -156,15 +156,25 @@ class StableDiffusionInpainter(Inpainter):
     def __init__(self, denoise_fn: Optional[Callable] = None,
                  ckpt: Optional[str] = None,
                  num_steps: int = 50,
+                 strength: Optional[float] = None,
                  resize_to_area_limit: int = 750 * 750):
         import os
         self.num_steps = num_steps
         self.resize_to_area_limit = resize_to_area_limit
         ckpt = ckpt or os.environ.get("STITCHAX_SD_CKPT")
+        # diffusers' `strength` (1.0 = reference default, from pure
+        # noise); the in-env-trained reduced checkpoints measure best
+        # refining the classical fill at s<1 — STITCHAX_SD_STRENGTH
+        # overrides, same pattern as STITCHAX_SD_CKPT
+        if strength is None:
+            strength = float(os.environ.get("STITCHAX_SD_STRENGTH", "1.0"))
+        self.strength = strength
         if denoise_fn is None and ckpt and os.path.isfile(ckpt):
             from ..models.sd_pipeline import load_sd_checkpoint
-            denoise_fn = load_sd_checkpoint(ckpt, num_steps=num_steps)
-            print(f"[StableDiffusionInpainter] loaded SD checkpoint {ckpt}")
+            denoise_fn = load_sd_checkpoint(ckpt, num_steps=num_steps,
+                                            strength=strength)
+            print(f"[StableDiffusionInpainter] loaded SD checkpoint {ckpt}"
+                  f" (strength={strength})")
         self.denoise_fn = denoise_fn
         if denoise_fn is None:
             import warnings

@@ -42,10 +42,18 @@ def make_sd_inpaint_fn(unet_vars: Any, controlnet_vars: Any, vae_vars: Any,
                        context: jnp.ndarray,
                        cfg: UNetConfig = UNetConfig(),
                        vae: Optional[AutoencoderKL] = None,
-                       num_steps: int = 50, seed: int = 0) -> Callable:
+                       num_steps: int = 50, seed: int = 0,
+                       strength: float = 1.0) -> Callable:
     """Returns inpaint_fn(image [0,255] HWC, mask HW1, num_steps_unused)
     -> image [0,255], fully traceable (runs inside the stitcher's jitted
-    TPS/mix stage as one program)."""
+    TPS/mix stage as one program).
+
+    `strength` is the diffusers inpaint-pipeline parameter (1.0 = the
+    reference's from-pure-noise operating point). With s < 1 the DDIM
+    trajectory starts from the classical push-pull fill of the hole,
+    noised to the matching schedule point, and the model refines it —
+    the recommended mode for the reduced-scale in-env-trained
+    checkpoints (see make_inpaint_denoiser)."""
     unet = UNet2DCondition(cfg)
     cnet = ControlNet(cfg)
     vae = vae or AutoencoderKL()
@@ -56,7 +64,8 @@ def make_sd_inpaint_fn(unet_vars: Any, controlnet_vars: Any, vae_vars: Any,
         controlnet_vars, lat, t, ctx, ctrl)
     denoise = make_inpaint_denoiser(unet_apply, cnet_apply, context,
                                     num_steps=num_steps,
-                                    num_train_steps=cfg.num_train_timesteps)
+                                    num_train_steps=cfg.num_train_timesteps,
+                                    strength=strength)
     key = jax.random.PRNGKey(seed)
 
     def inpaint_fn(image, mask, _num_steps_unused=None):
@@ -72,7 +81,13 @@ def make_sd_inpaint_fn(unet_vars: Any, controlnet_vars: Any, vae_vars: Any,
         # (reference make_inpaint_condition, inpainter.py:27-36)
         control = (image / 255.0) * (1.0 - hole) + (-1.0) * hole
         noise = jax.random.normal(key, lat_masked.shape, lat_masked.dtype)
-        lat = denoise(mask_lat, lat_masked, control[None], noise)
+        init_lat = None
+        if strength < 1.0:
+            from ..compose.inpainters import push_pull_inpaint
+            filled = push_pull_inpaint(image, hole) / 127.5 - 1.0
+            init_lat = vae.apply(vae_vars, filled[None],
+                                 method=AutoencoderKL.encode_mode)
+        lat = denoise(mask_lat, lat_masked, control[None], noise, init_lat)
         out = vae.apply(vae_vars, lat, method=AutoencoderKL.decode)[0]
         out = jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)
         # apply_overlay: original pixels outside the mask
@@ -83,7 +98,8 @@ def make_sd_inpaint_fn(unet_vars: Any, controlnet_vars: Any, vae_vars: Any,
 
 
 def load_sd_checkpoint(path: str, cfg: Optional[UNetConfig] = None,
-                       num_steps: int = 50, seed: int = 0) -> Callable:
+                       num_steps: int = 50, seed: int = 0,
+                       strength: float = 1.0) -> Callable:
     """Convert a packed torch checkpoint into a ready inpaint_fn.
 
     Model sizes come from the blob's optional "configs" entry (see module
@@ -104,7 +120,8 @@ def load_sd_checkpoint(path: str, cfg: Optional[UNetConfig] = None,
         return make_sd_inpaint_fn(
             as_jnp(blobs["unet_vars"]), as_jnp(blobs["controlnet_vars"]),
             as_jnp(blobs["vae_vars"]), jnp.asarray(blobs["context"]),
-            cfg=cfg, vae=vae, num_steps=num_steps, seed=seed)
+            cfg=cfg, vae=vae, num_steps=num_steps, seed=seed,
+            strength=strength)
     if cfg is None:
         cfg = UNetConfig(**configs.get("unet", {}))
     vae = AutoencoderKL(**configs.get("vae", {}))
@@ -117,4 +134,4 @@ def load_sd_checkpoint(path: str, cfg: Optional[UNetConfig] = None,
     context = clip.apply(clip_vars, empty_prompt_tokens())
     return make_sd_inpaint_fn(unet_vars, cnet_vars, vae_vars, context,
                               cfg=cfg, vae=vae, num_steps=num_steps,
-                              seed=seed)
+                              seed=seed, strength=strength)

@@ -340,6 +340,44 @@ class TestEndToEnd:
         out2 = jax.jit(fn)(img, mask)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
+    def test_strength_refinement_path(self, rng):
+        """strength<1 (the diffusers pipeline parameter): the DDIM
+        trajectory starts from the noised push-pull fill and runs only
+        round(s*num_steps) steps; the overlay contract is unchanged and
+        the result differs from the strength=1 trajectory."""
+        k = jax.random.PRNGKey(0)
+        unet = sdm.UNet2DCondition(TINY)
+        cnet = sdm.ControlNet(TINY)
+        vae = sdv.AutoencoderKL((8, 8, 8, 8), groups=4)
+        lat = jnp.zeros((1, 8, 8, 9))
+        ctx = jnp.zeros((1, 5, TINY.context_dim))
+        uv = jax.jit(unet.init)(k, lat, jnp.zeros((1,)), ctx)
+        cv = jax.jit(cnet.init)(k, lat[..., :4], jnp.zeros((1,)), ctx,
+                                jnp.zeros((1, 64, 64, 3)))
+        vv = jax.jit(vae.init)(k, jnp.zeros((1, 64, 64, 3)))
+        img = jnp.asarray(rng.uniform(0, 255, (64, 64, 3)), jnp.float32)
+        mask = jnp.zeros((64, 64, 1)).at[16:32, 16:32].set(1.0)
+
+        full = jax.jit(make_sd_inpaint_fn(
+            uv, cv, vv, ctx, cfg=TINY, vae=vae, num_steps=4, seed=0))(
+                img, mask)
+        half = jax.jit(make_sd_inpaint_fn(
+            uv, cv, vv, ctx, cfg=TINY, vae=vae, num_steps=4, seed=0,
+            strength=0.5))(img, mask)
+        assert half.shape == (64, 64, 3)
+        assert bool(jnp.isfinite(half).all())
+        np.testing.assert_allclose(np.asarray(half)[:8, :8],
+                                   np.asarray(img)[:8, :8])
+        # a different trajectory start must change the hole content
+        assert float(jnp.abs(half[16:32, 16:32]
+                             - full[16:32, 16:32]).mean()) > 1e-3
+        # strength=1 with an explicit default stays bit-identical to the
+        # reference operating point (regression guard for the default)
+        again = jax.jit(make_sd_inpaint_fn(
+            uv, cv, vv, ctx, cfg=TINY, vae=vae, num_steps=4, seed=0,
+            strength=1.0))(img, mask)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(again))
+
     def test_load_sd_checkpoint_sizes_from_configs(self, rng, tmp_path):
         """The packed blob's 'configs' entry must size UNet/VAE/CLIP
         (tools/make_random_sd_checkpoint.py writes reduced-scale packs so

@@ -31,6 +31,15 @@ def get_args():
     p.add_argument("--n_eval", type=int, default=8)
     p.add_argument("--seed", type=int, default=0,
                    help="must match the training run for a held-out eval")
+    p.add_argument("--pool", choices=("all", "scenes", "noise"),
+                   default="all",
+                   help="'all' reproduces the trainer's mixed held-out "
+                        "split exactly; 'scenes'/'noise' restrict the crop "
+                        "pool to demo_scenes/demo_data (fresh crops, same "
+                        "hole protocol) — on the noise pool the "
+                        "PSNR-optimal fill IS smooth interpolation, so "
+                        "push-pull is a near-ceiling there; the scenes "
+                        "split is where inpainting quality is observable")
     p.add_argument("--out", default=None, help="optional result JSON path")
     p.add_argument("--panel", default=None, help="optional panel PNG path")
     return p.parse_args()
@@ -64,10 +73,24 @@ def main():
     rng = np.random.default_rng(args.seed)
     k = jax.random.PRNGKey(args.seed)
     _, _, k_trmask, k_evmask, _ = jax.random.split(k, 5)
-    n_train = 64
-    _ = make_crops(args.size, n_train, rng)            # advance the stream
-    eval_imgs = make_crops(args.size, args.n_eval, rng)
     del k_trmask                                       # train masks: keyed, not streamed
+    if args.pool == "all":
+        n_train = 64
+        _ = make_crops(args.size, n_train, rng)        # advance the stream
+        eval_imgs = make_crops(args.size, args.n_eval, rng)
+    else:
+        import glob as _glob
+        from PIL import Image
+        base = os.path.join(os.path.dirname(__file__), "..",
+                            "demo_scenes" if args.pool == "scenes"
+                            else "demo_data")
+        pool = [np.asarray(Image.open(f).convert("RGB").resize(
+                    (2 * args.size, 2 * args.size), Image.BILINEAR),
+                    np.float32)
+                for f in sorted(_glob.glob(
+                    os.path.join(base, "*", "input*.jpg")))]
+        assert pool, base
+        eval_imgs = make_crops(args.size, args.n_eval, rng, pool)
     eval_holes = np.asarray(
         random_rect_masks(k_evmask, args.n_eval, args.size))
 
@@ -87,7 +110,7 @@ def main():
     psnr_pp = hole_psnr255(pp_outs, eval_imgs, eval_holes)
 
     result = dict(ckpt=args.ckpt, ddim_steps=args.ddim_steps,
-                  n_eval=args.n_eval, seed=args.seed,
+                  n_eval=args.n_eval, seed=args.seed, pool=args.pool,
                   hole_psnr=round(psnr, 2),
                   push_pull_psnr=round(psnr_pp, 2),
                   beats_push_pull=psnr > psnr_pp)
