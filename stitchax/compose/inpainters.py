@@ -162,6 +162,18 @@ class StableDiffusionInpainter(Inpainter):
         self.num_steps = num_steps
         self.resize_to_area_limit = resize_to_area_limit
         ckpt = ckpt or os.environ.get("STITCHAX_SD_CKPT")
+        if not ckpt:
+            # fall back to the committed in-env-trained snapshot, mirroring
+            # the reference's fixed-path runwayml/lllyasviel load
+            # (inpainter.py:13-25) and the TransRef default
+            # (models/transref.py make_default_transref_apply);
+            # STITCHAX_SD_CKPT=none forces the classical fallback.
+            default = os.path.join(os.path.dirname(__file__), "..", "..",
+                                   "results", "sd_ckpt_r05.pt")
+            if os.path.isfile(default):
+                ckpt = default
+        if ckpt and ckpt.lower() == "none":
+            ckpt = None
         # diffusers' `strength` (1.0 = reference default, from pure
         # noise); the in-env-trained reduced checkpoints measure best
         # refining the classical fill at s<1 — STITCHAX_SD_STRENGTH
