@@ -176,17 +176,21 @@ class StableDiffusionInpainter(Inpainter):
             ckpt = None
         # diffusers' `strength` (1.0 = reference default, from pure
         # noise); the in-env-trained reduced checkpoints measure best
-        # refining the classical fill at s<1 — STITCHAX_SD_STRENGTH
-        # overrides, same pattern as STITCHAX_SD_CKPT
-        if strength is None:
-            strength = float(os.environ.get("STITCHAX_SD_STRENGTH", "1.0"))
+        # refining the classical fill at s<1. Resolution order:
+        # explicit kwarg > STITCHAX_SD_STRENGTH > the checkpoint's own
+        # preferred_strength > 1.0 (load_sd_checkpoint resolves the
+        # last two when strength is None).
+        env_s = os.environ.get("STITCHAX_SD_STRENGTH")
+        if strength is None and env_s is not None:
+            strength = float(env_s)
         self.strength = strength
         if denoise_fn is None and ckpt and os.path.isfile(ckpt):
             from ..models.sd_pipeline import load_sd_checkpoint
             denoise_fn = load_sd_checkpoint(ckpt, num_steps=num_steps,
                                             strength=strength)
             print(f"[StableDiffusionInpainter] loaded SD checkpoint {ckpt}"
-                  f" (strength={strength})")
+                  f" (strength="
+                  f"{'ckpt-preferred' if strength is None else strength})")
         self.denoise_fn = denoise_fn
         if denoise_fn is None:
             import warnings

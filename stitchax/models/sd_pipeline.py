@@ -99,16 +99,21 @@ def make_sd_inpaint_fn(unet_vars: Any, controlnet_vars: Any, vae_vars: Any,
 
 def load_sd_checkpoint(path: str, cfg: Optional[UNetConfig] = None,
                        num_steps: int = 50, seed: int = 0,
-                       strength: float = 1.0) -> Callable:
+                       strength: Optional[float] = None) -> Callable:
     """Convert a packed torch checkpoint into a ready inpaint_fn.
 
     Model sizes come from the blob's optional "configs" entry (see module
     docstring); an explicit `cfg` argument overrides the packed UNet config.
+    `strength=None` defers to the checkpoint's "preferred_strength" entry
+    (the operating point measured best at train time; 1.0 — the reference's
+    from-pure-noise mode — when the blob carries none).
     """
     import torch
 
     blobs = torch.load(path, map_location="cpu", weights_only=False)
     configs = blobs.get("configs", {})
+    if strength is None:
+        strength = float(blobs.get("preferred_strength", 1.0))
     if blobs.get("format") == "stitchax_jax":
         # natively-trained stitchax params (train/sd_inpaint_trainer.py
         # save_jax_sd_checkpoint): no diffusers conversion; the empty-prompt

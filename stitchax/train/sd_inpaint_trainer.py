@@ -118,21 +118,29 @@ def make_diffusion_train_step(unet, cnet, vae: AutoencoderKL,
 
 def save_jax_sd_checkpoint(path: str, unet_vars: Any, cnet_vars: Any,
                            vae_vars: Any, context: Any,
-                           unet_kw: Dict, vae_kw: Dict) -> None:
+                           unet_kw: Dict, vae_kw: Dict,
+                           preferred_strength: float = None) -> None:
     """Pack natively-trained JAX params into the checkpoint container
     (models/sd_pipeline.load_sd_checkpoint detects format='stitchax_jax'
     and skips the diffusers converters; the text context is stored
-    directly — the empty prompt makes CLIP a constant)."""
+    directly — the empty prompt makes CLIP a constant).
+
+    `preferred_strength` records the diffusers-style strength this
+    checkpoint measured best at; load_sd_checkpoint adopts it when the
+    caller doesn't pin one."""
     import numpy as np
     import torch
 
     to_np = lambda t: jax.tree_util.tree_map(
         lambda x: np.asarray(jax.device_get(x)), t)
-    torch.save({
+    blob = {
         "format": "stitchax_jax",
         "configs": {"unet": dict(unet_kw), "vae": dict(vae_kw)},
         "unet_vars": to_np(unet_vars),
         "controlnet_vars": to_np(cnet_vars),
         "vae_vars": to_np(vae_vars),
         "context": np.asarray(jax.device_get(context)),
-    }, path)
+    }
+    if preferred_strength is not None:
+        blob["preferred_strength"] = float(preferred_strength)
+    torch.save(blob, path)

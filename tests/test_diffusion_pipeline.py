@@ -480,3 +480,20 @@ class TestNativeJaxContainer:
         np.testing.assert_allclose(np.asarray(out)[:8, :8],
                                    np.asarray(img)[:8, :8])
         assert float(jnp.abs(out[8:20, 8:20] - img[8:20, 8:20]).mean()) > 1.0
+
+        # preferred_strength round-trip: a blob that records its measured
+        # operating point is adopted when the caller leaves strength unset,
+        # and an explicit strength still overrides it
+        path_s = tmp_path / "sd_jax_s.pt"
+        save_jax_sd_checkpoint(str(path_s), params["unet"],
+                               params["controlnet"], vp, ctx, unet_kw,
+                               vae_kw, preferred_strength=0.5)
+        fn_pref = load_sd_checkpoint(str(path_s), num_steps=4)
+        fn_half = load_sd_checkpoint(str(path_s), num_steps=4, strength=0.5)
+        fn_full = load_sd_checkpoint(str(path_s), num_steps=4, strength=1.0)
+        o_pref = jax.jit(fn_pref)(img, mask)
+        o_half = jax.jit(fn_half)(img, mask)
+        o_full = jax.jit(fn_full)(img, mask)
+        np.testing.assert_array_equal(np.asarray(o_pref), np.asarray(o_half))
+        assert float(jnp.abs(o_pref[8:20, 8:20]
+                             - o_full[8:20, 8:20]).mean()) > 1e-3

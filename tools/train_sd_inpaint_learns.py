@@ -248,16 +248,20 @@ def main():
                   f"hole PSNR {p:.2f}  refine(s={args.eval_strength}) "
                   f"{pr:.2f}", flush=True)
             if args.save_ckpt:
+                # each snapshot records its measured-best operating point
+                # (load_sd_checkpoint adopts it when strength is unset)
                 save_jax_sd_checkpoint(
                     os.path.join(args.out, "sd_ckpt.pt"), params["unet"],
                     params["controlnet"], vae_params, context, unet_kw,
-                    vae_kw)
+                    vae_kw,
+                    preferred_strength=args.eval_strength if pr > p else 1.0)
                 if pr > best_refine:
                     best_refine = pr
                     save_jax_sd_checkpoint(
                         os.path.join(args.out, "sd_ckpt_best.pt"),
                         params["unet"], params["controlnet"], vae_params,
-                        context, unet_kw, vae_kw)
+                        context, unet_kw, vae_kw,
+                        preferred_strength=args.eval_strength)
 
     p_end = history[-1]["hole_psnr"]
     p_refine_best = max(h["hole_psnr_refine"] for h in history)
