@@ -27,8 +27,15 @@ def get_args():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True)
     p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--strength", type=float, default=None,
+                   help="diffusers strength; default = the checkpoint's "
+                        "preferred_strength (1.0 if it carries none)")
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--n_eval", type=int, default=8)
+    p.add_argument("--n_train_advance", type=int, default=64,
+                   help="how many train crops the training run drew before "
+                        "the eval split (--n_train there); must match it to "
+                        "reproduce that run's exact held-out crops")
     p.add_argument("--seed", type=int, default=0,
                    help="must match the training run for a held-out eval")
     p.add_argument("--pool", choices=("all", "scenes", "noise"),
@@ -75,8 +82,7 @@ def main():
     _, _, k_trmask, k_evmask, _ = jax.random.split(k, 5)
     del k_trmask                                       # train masks: keyed, not streamed
     if args.pool == "all":
-        n_train = 64
-        _ = make_crops(args.size, n_train, rng)        # advance the stream
+        _ = make_crops(args.size, args.n_train_advance, rng)  # advance
         eval_imgs = make_crops(args.size, args.n_eval, rng)
     else:
         import glob as _glob
@@ -94,10 +100,12 @@ def main():
     eval_holes = np.asarray(
         random_rect_masks(k_evmask, args.n_eval, args.size))
 
+    strength = (args.strength if args.strength is not None
+                else float(blob.get("preferred_strength", 1.0)))
     fn = jax.jit(make_sd_inpaint_fn(
         blob["unet_vars"], blob["controlnet_vars"], blob["vae_vars"],
         context, cfg=cfg, vae=vae, num_steps=args.ddim_steps,
-        seed=args.seed))
+        seed=args.seed, strength=strength))
     outs = np.stack([np.asarray(fn(jnp.asarray(eval_imgs[i]),
                                    jnp.asarray(eval_holes[i])))
                      for i in range(args.n_eval)])
@@ -110,6 +118,7 @@ def main():
     psnr_pp = hole_psnr255(pp_outs, eval_imgs, eval_holes)
 
     result = dict(ckpt=args.ckpt, ddim_steps=args.ddim_steps,
+                  strength=strength,
                   n_eval=args.n_eval, seed=args.seed, pool=args.pool,
                   hole_psnr=round(psnr, 2),
                   push_pull_psnr=round(psnr_pp, 2),
