@@ -61,19 +61,115 @@ def make_pair(rng, H=480, W=640, shift=80, jitter=12.0, cell=8):
     return img1, img2
 
 
-def write_split(root, phase, n, seed, **kw):
+def make_scene_rich(rng, H, W):
+    """Domain-randomized scene: multi-scale (fractal-ish) noise base +
+    boxes/ellipses/stripes/thin lines/checker patches — statistics much
+    closer to real photos (fine texture, hard edges, repeated structure)
+    than the smooth-noise `make_scene`. Round-5 addition for closing the
+    synthetic->real gap measured by tools/eval_real_photos.py."""
+    from PIL import ImageDraw
+
+    scene = np.zeros((H, W, 3), np.float32)
+    total = 0.0
+    for cell, amp in ((64, 1.0), (16, 0.5), (4, 0.25)):
+        base = rng.uniform(0, 255, (max(H // cell, 1), max(W // cell, 1), 3))
+        layer = np.asarray(Image.fromarray(base.astype(np.uint8)).resize(
+            (W, H), Image.BILINEAR), np.float32)
+        scene += amp * layer
+        total += amp
+    scene /= total
+
+    im = Image.fromarray(np.clip(scene, 0, 255).astype(np.uint8))
+    draw = ImageDraw.Draw(im, "RGBA")
+
+    def rgba():
+        c = rng.uniform(0, 255, (3,)).astype(int)
+        return (int(c[0]), int(c[1]), int(c[2]),
+                int(rng.uniform(90, 220)))
+
+    for _ in range(int(rng.integers(4, 10))):  # boxes (building-ish)
+        w = int(rng.integers(W // 14, W // 3))
+        h = int(rng.integers(H // 14, H // 3))
+        x = int(rng.integers(0, W - w))
+        y = int(rng.integers(0, H - h))
+        draw.rectangle([x, y, x + w, y + h], fill=rgba())
+    for _ in range(int(rng.integers(2, 6))):  # ellipses
+        w = int(rng.integers(W // 16, W // 4))
+        h = int(rng.integers(H // 16, H // 4))
+        x = int(rng.integers(0, W - w))
+        y = int(rng.integers(0, H - h))
+        draw.ellipse([x, y, x + w, y + h], fill=rgba())
+    for _ in range(int(rng.integers(6, 16))):  # thin hard lines
+        x0, x1 = rng.integers(0, W, 2)
+        y0, y1 = rng.integers(0, H, 2)
+        draw.line([int(x0), int(y0), int(x1), int(y1)], fill=rgba(),
+                  width=int(rng.integers(1, 4)))
+    if rng.uniform() < 0.5:  # a checker patch (facade/tile texture)
+        cs = int(rng.integers(8, 24))
+        px = int(rng.integers(0, max(W - 8 * cs, 1)))
+        py = int(rng.integers(0, max(H - 8 * cs, 1)))
+        c1, c2 = rgba(), rgba()
+        for iy in range(8):
+            for ix in range(8):
+                draw.rectangle(
+                    [px + ix * cs, py + iy * cs,
+                     px + (ix + 1) * cs, py + (iy + 1) * cs],
+                    fill=c1 if (ix + iy) % 2 == 0 else c2)
+    scene = np.asarray(im, np.float32)
+    # fine-grain sensor-like noise
+    scene = scene + rng.normal(0, rng.uniform(1.0, 5.0), scene.shape)
+    return np.clip(scene, 0, 255)
+
+
+def photometric_rich(img, rng):
+    """Stronger exposure mismatch: per-channel gain, gamma, offset, and an
+    occasional slight blur (defocus/motion between shots)."""
+    gain = rng.uniform(0.85, 1.15, (3,))
+    gamma = rng.uniform(0.85, 1.2)
+    off = rng.uniform(-12, 12)
+    out = 255.0 * (np.clip(img / 255.0, 0, 1) ** gamma)
+    out = np.clip(out * gain[None, None, :] + off, 0, 255)
+    if rng.uniform() < 0.3:
+        from PIL import ImageFilter
+        out = np.asarray(Image.fromarray(out.astype(np.uint8)).filter(
+            ImageFilter.GaussianBlur(rng.uniform(0.4, 1.2))), np.float32)
+    return out
+
+
+def make_pair_rich(rng, H=480, W=640, shift=80, jitter=12.0, cell=8):
+    """Rich-recipe pair: varied shift/jitter + the rich scene + stronger
+    photometrics. `cell` is accepted for signature parity (unused)."""
+    del cell
+    s = int(shift * rng.uniform(0.6, 1.25))
+    j = jitter * rng.uniform(0.6, 1.5)
+    scene = make_scene_rich(rng, H, W + s)
+    img1 = scene[:, :W].copy()
+    img2 = warp_crop(scene, s, W, H, j, rng)
+    img2 = photometric_rich(img2, rng)
+    return img1, img2
+
+
+RECIPES = {"classic": make_pair, "rich": make_pair_rich}
+
+
+def write_split(root, phase, n, seed, recipe="classic", **kw):
     d1 = os.path.join(root, phase, "input1")
     d2 = os.path.join(root, phase, "input2")
     os.makedirs(d1, exist_ok=True)
     os.makedirs(d2, exist_ok=True)
     rng = np.random.default_rng(seed)
     for i in range(n):
-        img1, img2 = make_pair(rng, **kw)
+        if recipe == "mixed":  # alternate recipes pair by pair
+            fn = make_pair_rich if i % 2 else make_pair
+        else:
+            fn = RECIPES[recipe]
+        img1, img2 = fn(rng, **kw)
+        q = int(rng.integers(70, 96)) if recipe != "classic" else 95
         Image.fromarray(img1.astype(np.uint8)).save(
-            os.path.join(d1, f"{i:06d}.jpg"), quality=95)
+            os.path.join(d1, f"{i:06d}.jpg"), quality=q)
         Image.fromarray(img2.astype(np.uint8)).save(
-            os.path.join(d2, f"{i:06d}.jpg"), quality=95)
-    print(f"{phase}: {n} pairs at {root}")
+            os.path.join(d2, f"{i:06d}.jpg"), quality=q)
+    print(f"{phase}: {n} pairs at {root} (recipe={recipe})")
 
 
 def main():
@@ -87,9 +183,15 @@ def main():
     p.add_argument("--cell", type=int, default=8,
                    help="noise-base cell size in px; larger = smoother, "
                         "more photo-like low-frequency scenes")
+    p.add_argument("--recipe", choices=("classic", "rich", "mixed"),
+                   default="classic",
+                   help="classic = the committed round-2 recipe (keeps "
+                        "existing artifacts reproducible); rich = domain-"
+                        "randomized scenes (multi-scale texture, hard "
+                        "edges, stronger photometrics); mixed = alternate")
     args = p.parse_args()
     kw = dict(H=args.height, W=args.width, shift=args.shift,
-              cell=args.cell)
+              cell=args.cell, recipe=args.recipe)
     write_split(args.root, "training", args.train_pairs, seed=1, **kw)
     write_split(args.root, "testing", args.test_pairs, seed=7, **kw)
 
